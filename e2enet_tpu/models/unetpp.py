@@ -1,0 +1,193 @@
+"""ShiftUNetPlusPlus — the E2ENet network, TPU-native.
+
+A UNet++ dense-nest topology where every conv is a shifted (1,3,3) conv
+(depth-shift + batched 2D conv on the MXU), encoder pooling is convolutional
+(strided first conv per stage), nest upsampling is transposed conv with
+kernel == stride (a matmul here), and nest down links are max pools.
+
+Reference parity: Generic_UNetPlusPlus (unetpp_d.py:210-591). The reference
+hard-codes num_pool == 5 in __init__/forward (loc0..loc4, 6 context stages,
+unetpp_d.py:380-389,447-488); here the nest is generated for any num_pool —
+for num_pool == 5 the topology, channel counts and node wiring match the
+reference exactly.
+
+Node grammar (num_pool = P): encoder outputs x(i, 0) at level i (level 0 =
+full resolution, level P = bottleneck). Nest node x(i, j) for j >= 1,
+i + j <= P fuses
+    concat[ x(i, j-1), transpconv(x(i+1, j-1)), maxpool(x(i-1, j-1)) ]
+(the maxpool "dense feature fusion" input only when i > 0; reference forward
+unetpp_d.py:447-488). Reference index mapping: x(i, j) = loc{P-i-j}[j-1].
+Deep-supervision heads sit on x(0,P), x(1,P-1), x(2,P-2), x(3,P-3)
+(unetpp_d.py:394-401,480-483).
+"""
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.blocks import (SegHead, StackedConvBlocks, TranspConv, max_pool)
+
+MAX_NUM_FILTERS_3D = 320
+
+
+def encoder_channels(base: int, num_pool: int, max_features: int,
+                     feat_mul: int = 2) -> List[int]:
+    """Output channels per level 0..num_pool (incl. bottleneck)."""
+    return [min(base * feat_mul ** d, max_features)
+            for d in range(num_pool + 1)]
+
+
+class ShiftUNetPlusPlus(nn.Module):
+    input_channels: int
+    num_classes: int
+    pool_op_kernel_sizes: Tuple[Tuple[int, int, int], ...]
+    base_num_features: int = 48
+    max_num_features: int = MAX_NUM_FILTERS_3D
+    num_conv_per_stage: int = 2
+    shift_size: int = 5
+    do_shift: bool = True
+    dense_fusion: bool = True      # the maxpool down links (DSFF substrate)
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def num_pool(self) -> int:
+        return len(self.pool_op_kernel_sizes)
+
+    @property
+    def input_shape_must_be_divisible_by(self) -> np.ndarray:
+        return np.prod(np.array(self.pool_op_kernel_sizes), 0)
+
+    def num_ds_outputs(self) -> int:
+        return min(4, self.num_pool)
+
+    def _check_divisible(self, x):
+        div = self.input_shape_must_be_divisible_by
+        spatial = x.shape[1:4]
+        if any(int(s) % int(d) != 0 for s, d in zip(spatial, div)):
+            raise ValueError(
+                f"input spatial shape {tuple(spatial)} must be divisible by "
+                f"{tuple(int(d) for d in div)} (pool kernels "
+                f"{self.pool_op_kernel_sizes})")
+
+    @nn.compact
+    def __call__(self, x, do_ds: bool = True):
+        self._check_divisible(x)
+        P = self.num_pool
+        pools = [tuple(p) for p in self.pool_op_kernel_sizes]
+        enc = encoder_channels(self.base_num_features, P,
+                               self.max_num_features)
+        cd = self.compute_dtype
+        x = x.astype(cd)
+
+        common = dict(shift_size=self.shift_size, do_shift=self.do_shift,
+                      compute_dtype=cd)
+
+        # ---------------- encoder (convolutional pooling: strided 1st conv)
+        nodes: Dict[Tuple[int, int], jnp.ndarray] = {}
+        h = x
+        for d in range(P):
+            stride = pools[d - 1] if d > 0 else (1, 1, 1)
+            h = StackedConvBlocks(features=enc[d],
+                                  num_convs=self.num_conv_per_stage,
+                                  first_stride=stride,
+                                  name=f"context{d}", **common)(h)
+            nodes[(d, 0)] = h
+        # bottleneck: (num_conv_per_stage - 1) strided convs + 1 conv
+        # (unetpp_d.py:365-371)
+        h = StackedConvBlocks(features=enc[P],
+                              num_convs=self.num_conv_per_stage - 1,
+                              first_stride=pools[P - 1],
+                              name=f"context{P}a", **common)(h)
+        h = StackedConvBlocks(features=enc[P], num_convs=1,
+                              name=f"context{P}b", **common)(h)
+        nodes[(P, 0)] = h
+
+        # ---------------- dense nest
+        for j in range(1, P + 1):
+            for i in range(P - j, -1, -1):
+                z = P - i - j          # reference nest index: loc{z}[j-1]
+                k = j - 1
+                below = nodes[(i + 1, j - 1)]
+                up = TranspConv(features=enc[i], stride=pools[i],
+                                compute_dtype=cd, name=f"up{z}_{k}")(below)
+                cat = [nodes[(i, j - 1)], up]
+                if i > 0 and self.dense_fusion:
+                    cat.append(max_pool(nodes[(i - 1, j - 1)], pools[i - 1]))
+                fused = jnp.concatenate(cat, axis=-1)
+                if z == 0:
+                    # full nest column end: (num_conv_per_stage-1)+1 convs
+                    fused = StackedConvBlocks(
+                        features=enc[i],
+                        num_convs=self.num_conv_per_stage - 1,
+                        name=f"loc{z}_{k}", **common)(fused)
+                    fused = StackedConvBlocks(
+                        features=enc[i], num_convs=1,
+                        name=f"loc{z}_{k}_final", **common)(fused)
+                else:
+                    fused = StackedConvBlocks(
+                        features=enc[i],
+                        num_convs=self.num_conv_per_stage - 1,
+                        name=f"loc{z}_{k}", **common)(fused)
+                nodes[(i, j)] = fused
+
+        # ---------------- deep supervision heads
+        n_heads = self.num_ds_outputs()
+        outputs = []
+        for i in range(n_heads):
+            head_in = nodes[(i, P - i)]
+            outputs.append(SegHead(num_classes=self.num_classes,
+                                   compute_dtype=cd,
+                                   name=f"seg_head{i}")(head_in))
+        if do_ds:
+            return outputs
+        return outputs[0]
+
+
+def deep_supervision_scales(pool_op_kernel_sizes,
+                            num_outputs: int) -> List[List[float]]:
+    """Relative resolution of each DS output (for target downsampling).
+    Parity: nnUNetTrainer_simple.setup_DA_params (the [1,1,1] + cumprod
+    expression), truncated to the network's actual output count."""
+    scales = [[1.0, 1.0, 1.0]] + list(
+        (1.0 / np.cumprod(np.vstack(pool_op_kernel_sizes), axis=0)).tolist())
+    return [list(map(float, s)) for s in scales[:num_outputs]]
+
+
+def ds_loss_weights(num_pool: int, num_outputs: int) -> np.ndarray:
+    """Exponentially decaying deep-supervision weights with the lowest level
+    zeroed, normalized to sum 1 over the first num_pool entries, then
+    truncated to the network's output count.
+    Parity: nnUNetTrainer_simple.initialize (weights = 1/2^i, last zeroed)."""
+    weights = np.array([1.0 / (2 ** i) for i in range(num_pool)])
+    mask = np.array([True] + [i < num_pool - 1
+                              for i in range(1, num_pool)])
+    weights[~mask] = 0.0
+    weights = weights / weights.sum()
+    return weights[:num_outputs]
+
+
+def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
+                  tconv: str = "shiftConvPP", base_num_features: int = 48,
+                  compute_dtype=jnp.bfloat16):
+    """Network factory by Tconv name.
+    Parity: nnUNetTrainer_simple.initialize_network (:281-357)."""
+    pools = tuple(tuple(p) for p in plans_stage.pool_op_kernel_sizes)
+    if tconv == "shiftConvPP":
+        return ShiftUNetPlusPlus(
+            input_channels=num_modalities, num_classes=num_classes_incl_bg,
+            pool_op_kernel_sizes=pools, base_num_features=base_num_features,
+            compute_dtype=compute_dtype)
+    if tconv == "shiftConvPP_noshift":
+        return ShiftUNetPlusPlus(
+            input_channels=num_modalities, num_classes=num_classes_incl_bg,
+            pool_op_kernel_sizes=pools, base_num_features=base_num_features,
+            do_shift=False, compute_dtype=compute_dtype)
+    if tconv in ("ori", "shiftConvPP_nodff"):
+        from .unet import ShiftUNet
+        return ShiftUNet(
+            input_channels=num_modalities, num_classes=num_classes_incl_bg,
+            pool_op_kernel_sizes=pools, base_num_features=base_num_features,
+            shift_size=3 if tconv == "ori" else 5,
+            compute_dtype=compute_dtype)
+    raise KeyError(f"Unknown Tconv '{tconv}'")

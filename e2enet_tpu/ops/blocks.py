@@ -1,0 +1,215 @@
+"""Core network building blocks, channels-last and MXU-friendly.
+
+Design notes (TPU-first, not a port):
+  * All tensors are (N, D, H, W, C) channels-last.
+  * Every conv in the E2ENet family has a (1,3,3) kernel
+    (unetpp_d.py:286-287 forces this), so 3D convs are lowered to batched 2D
+    convs: fold D into the batch dim and run a (3,3) conv — the layout XLA
+    tiles best onto the MXU. A depth stride is a slice before the fold.
+  * Transposed convs always have kernel == stride (unetpp_d.py:521-522), so
+    they are a single matmul Cin -> (sd*sh*sw*Cout) followed by a
+    depth-to-space reshape — pure MXU work, no scatter.
+  * InstanceNorm statistics are computed in float32 regardless of the
+    compute dtype (mirrors torch autocast keeping norms in fp32).
+
+Reference parity: ConvDropoutNormNonlin (unetpp_d.py:61-111),
+StackedConvLayers (unetpp_d.py:122-185), transpconv construction
+(unetpp_d.py:521-522), maxpool down links (unetpp_d.py:524).
+"""
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .shift import depth_shift
+
+LRELU_SLOPE = 1e-2
+INSTNORM_EPS = 1e-5
+
+
+def he_normal_leaky(slope: float = LRELU_SLOPE):
+    """Kaiming-normal init, fan_in, leaky_relu gain — parity with
+    torch.nn.init.kaiming_normal_(w, a=1e-2) used by InitWeights_He
+    (unetpp_d.py:28-36)."""
+    gain2 = 2.0 / (1.0 + slope ** 2)
+
+    def init(key, shape, dtype=jnp.float32):
+        # shape (..., in, out): fan_in = prod(spatial) * in
+        fan_in = int(np.prod(shape[:-1]))
+        std = np.sqrt(gain2 / fan_in)
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(std, dtype)
+    return init
+
+
+def instance_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                  eps: float = INSTNORM_EPS) -> jnp.ndarray:
+    """Per-(sample, channel) normalization over D,H,W in float32."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(1, x.ndim - 1))
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def leaky_relu(x, slope: float = LRELU_SLOPE):
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def _precision_for(dtype):
+    # this XLA build computes f32 convs/dots at reduced precision by default;
+    # force exact f32 when the compute dtype is f32 (golden tests, eval)
+    return (jax.lax.Precision.HIGHEST
+            if dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+
+def conv3d_as_2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
+                 stride: Tuple[int, int, int],
+                 compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(1,kh,kw) 3D conv as a batched 2D conv. kernel: (kh, kw, Cin, Cout).
+    Depth stride is realized by slicing D before the fold (exactly what a
+    kernel-size-1 strided conv computes)."""
+    sd, sh, sw = stride
+    if sd > 1:
+        x = x[:, ::sd]
+    N, D, H, W, C = x.shape
+    kh, kw, cin, cout = kernel.shape
+    x2 = x.reshape(N * D, H, W, C).astype(compute_dtype)
+    pad_h = (kh // 2, kh // 2)
+    pad_w = (kw // 2, kw // 2)
+    y = jax.lax.conv_general_dilated(
+        x2, kernel.astype(compute_dtype),
+        window_strides=(sh, sw),
+        padding=(pad_h, pad_w),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=compute_dtype,
+        precision=_precision_for(compute_dtype),
+    )
+    Ho, Wo = y.shape[1], y.shape[2]
+    y = y.reshape(N, D, Ho, Wo, cout)
+    if bias is not None:
+        y = y + bias.astype(compute_dtype)
+    return y
+
+
+def transp_conv_matmul(x: jnp.ndarray, kernel: jnp.ndarray,
+                       stride: Tuple[int, int, int],
+                       compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Transposed conv with kernel == stride as matmul + depth-to-space.
+    kernel: (sd, sh, sw, Cin, Cout); x: (N, D, H, W, Cin);
+    out: (N, D*sd, H*sh, W*sw, Cout)."""
+    sd, sh, sw = stride
+    N, D, H, W, C = x.shape
+    kd, kh, kw, cin, cout = kernel.shape
+    assert (kd, kh, kw) == (sd, sh, sw), "transpconv requires kernel == stride"
+    w2 = kernel.reshape(sd * sh * sw * 1, cin, cout)  # (S, Cin, Cout)
+    w2 = jnp.transpose(w2, (1, 0, 2)).reshape(cin, sd * sh * sw * cout)
+    y = jnp.dot(x.astype(compute_dtype), w2.astype(compute_dtype),
+                preferred_element_type=compute_dtype,
+                precision=_precision_for(compute_dtype))
+    y = y.reshape(N, D, H, W, sd, sh, sw, cout)
+    y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
+    return y.reshape(N, D * sd, H * sh, W * sw, cout)
+
+
+def max_pool(x: jnp.ndarray, window: Tuple[int, int, int]) -> jnp.ndarray:
+    """Max pool with window == stride (the nest down links, unetpp_d.py:524)."""
+    wd, wh, ww = window
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x, init, jax.lax.max,
+        window_dimensions=(1, wd, wh, ww, 1),
+        window_strides=(1, wd, wh, ww, 1),
+        padding="VALID")
+
+
+class ShiftConvBlock(nn.Module):
+    """shift -> conv(1,3,3) -> InstanceNorm -> LeakyReLU.
+
+    Parity: ConvDropoutNormNonlin (unetpp_d.py:61-111). Dropout p is 0 in the
+    trainer (nnUNetTrainer_simple.py dropout_op_kwargs {'p': 0}) so it is
+    omitted. The shift applies iff the conv kernel is (1,3,3)
+    (unetpp_d.py:103-104) — signalled here by `do_shift`.
+    """
+    features: int
+    kernel: Tuple[int, int, int] = (1, 3, 3)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    shift_size: int = 5
+    do_shift: bool = True
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kd, kh, kw = self.kernel
+        assert kd == 1, "E2ENet convs are (1,kh,kw); depth handled by shift"
+        cin = x.shape[-1]
+        kernel = self.param("kernel", he_normal_leaky(),
+                            (kh, kw, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.do_shift and (kh, kw) == (3, 3):
+            x = depth_shift(x, self.shift_size)
+        y = conv3d_as_2d(x, kernel, bias, self.stride, self.compute_dtype)
+        scale = self.param("norm_scale", nn.initializers.ones, (self.features,))
+        nbias = self.param("norm_bias", nn.initializers.zeros, (self.features,))
+        y = instance_norm(y, scale, nbias)
+        return leaky_relu(y)
+
+
+class StackedConvBlocks(nn.Module):
+    """num_convs ShiftConvBlocks; the stride only applies to the first
+    (convolutional pooling). Parity: StackedConvLayers (unetpp_d.py:122-185).
+    """
+    features: int
+    num_convs: int
+    first_stride: Tuple[int, int, int] = (1, 1, 1)
+    kernel: Tuple[int, int, int] = (1, 3, 3)
+    shift_size: int = 5
+    do_shift: bool = True
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_convs):
+            x = ShiftConvBlock(
+                features=self.features, kernel=self.kernel,
+                stride=self.first_stride if i == 0 else (1, 1, 1),
+                shift_size=self.shift_size, do_shift=self.do_shift,
+                compute_dtype=self.compute_dtype,
+                name=f"block{i}")(x)
+        return x
+
+
+class TranspConv(nn.Module):
+    """Transposed conv, kernel == stride, no bias (unetpp_d.py:521-522)."""
+    features: int
+    stride: Tuple[int, int, int]
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        sd, sh, sw = self.stride
+        kernel = self.param("kernel", he_normal_leaky(),
+                            (sd, sh, sw, cin, self.features))
+        return transp_conv_matmul(x, kernel, self.stride, self.compute_dtype)
+
+
+class SegHead(nn.Module):
+    """1x1x1 conv, no bias (seg_output_use_bias=False, unetpp_d.py:394-401).
+    Output logits in float32."""
+    num_classes: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", he_normal_leaky(), (cin, self.num_classes))
+        y = jnp.dot(x.astype(self.compute_dtype),
+                    kernel.astype(self.compute_dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=_precision_for(self.compute_dtype))
+        return y.astype(jnp.float32)

@@ -1,0 +1,146 @@
+"""Segmentation losses: soft Dice + cross-entropy with deep supervision.
+
+Parity: reference e2enet/training/loss_functions/dice_loss.py
+(get_tp_fp_fn_tn :100-192, SoftDiceLoss :195-232, DC_and_CE_loss :302-359),
+crossentropy.py (RobustCrossEntropyLoss), TopK_loss.py,
+deep_supervision.py (MultipleOutputLoss2 :19-43).
+
+Layout: logits (N, D, H, W, C); target (N, D, H, W) integer labels.
+All loss math in float32.
+"""
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def softmax_helper(x):
+    return jax.nn.softmax(x, axis=-1)
+
+
+def one_hot(target: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    return jax.nn.one_hot(target, num_classes, dtype=jnp.float32)
+
+
+def get_tp_fp_fn_tn(probs: jnp.ndarray, target: jnp.ndarray,
+                    batch_dice: bool,
+                    loss_mask: Optional[jnp.ndarray] = None):
+    """Soft confusion counts. probs: (N, ..., C) post-softmax;
+    target: (N, ...) int. Sums over spatial axes, and over the batch axis
+    too when batch_dice (reference SoftDiceLoss axes selection)."""
+    num_classes = probs.shape[-1]
+    y = one_hot(target, num_classes)
+    if loss_mask is not None:
+        m = loss_mask[..., None].astype(jnp.float32)
+        probs = probs * m
+        y = y * m
+    axes = tuple(range(0 if batch_dice else 1, probs.ndim - 1))
+    tp = jnp.sum(probs * y, axis=axes)
+    fp = jnp.sum(probs * (1.0 - y), axis=axes)
+    fn = jnp.sum((1.0 - probs) * y, axis=axes)
+    return tp, fp, fn
+
+
+def soft_dice_loss(logits: jnp.ndarray, target: jnp.ndarray,
+                   batch_dice: bool = True, do_bg: bool = False,
+                   smooth: float = 1e-5,
+                   loss_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    probs = softmax_helper(logits.astype(jnp.float32))
+    tp, fp, fn = get_tp_fp_fn_tn(probs, target, batch_dice, loss_mask)
+    nominator = 2.0 * tp + smooth
+    denominator = 2.0 * tp + fp + fn + smooth
+    dc = nominator / (denominator + 1e-8)
+    if not do_bg:
+        dc = dc[1:] if batch_dice else dc[:, 1:]
+    return -jnp.mean(dc)
+
+
+def robust_cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
+                         loss_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Mean CE over all voxels (reference RobustCrossEntropyLoss = standard
+    nn.CrossEntropyLoss on long labels)."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    if loss_mask is not None:
+        m = loss_mask.astype(jnp.float32)
+        return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return jnp.mean(nll)
+
+
+def dc_and_ce_loss(logits: jnp.ndarray, target: jnp.ndarray,
+                   batch_dice: bool = True, weight_ce: float = 1.0,
+                   weight_dice: float = 1.0, smooth: float = 1e-5,
+                   ignore_label: Optional[int] = None) -> jnp.ndarray:
+    """The default training loss (DC_and_CE_loss, dice_loss.py:302-359;
+    constructed with batch_dice, smooth 1e-5, do_bg=False at
+    nnUNetTrainer_simple.py:100)."""
+    loss_mask = None
+    if ignore_label is not None:
+        loss_mask = (target != ignore_label)
+        target = jnp.where(loss_mask, target, 0)
+    dc = soft_dice_loss(logits, target, batch_dice=batch_dice, do_bg=False,
+                        smooth=smooth, loss_mask=loss_mask)
+    ce = robust_cross_entropy(logits, target, loss_mask=loss_mask)
+    return weight_ce * ce + weight_dice * dc
+
+
+def topk_cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
+                       k_percent: float = 10.0) -> jnp.ndarray:
+    """TopK loss (TopK_loss.py:20): mean over the k% highest-CE voxels."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0].reshape(-1)
+    num = int(nll.shape[0] * k_percent / 100.0)
+    vals, _ = jax.lax.top_k(nll, max(num, 1))
+    return jnp.mean(vals)
+
+
+def deep_supervision_loss(outputs: Sequence[jnp.ndarray],
+                          targets: Sequence[jnp.ndarray],
+                          weights: Sequence[float],
+                          batch_dice: bool = True) -> jnp.ndarray:
+    """MultipleOutputLoss2 (deep_supervision.py:19-43): weighted sum of
+    DC+CE over deep-supervision heads; zero-weight heads are skipped."""
+    total = jnp.asarray(0.0, jnp.float32)
+    for o, t, w in zip(outputs, targets, weights):
+        if float(w) == 0.0:
+            continue
+        total = total + jnp.float32(w) * dc_and_ce_loss(
+            o, t, batch_dice=batch_dice)
+    return total
+
+
+def hard_tp_fp_fn(logits: jnp.ndarray, target: jnp.ndarray):
+    """Per-class hard counts for the online foreground-Dice estimate
+    (nnUNetTrainer_simple.run_online_evaluation :373-405). Returns (C-1,)
+    arrays for foreground classes, summed over batch + spatial."""
+    num_classes = logits.shape[-1]
+    seg = jnp.argmax(logits, axis=-1)
+    tp, fp, fn = [], [], []
+    for c in range(1, num_classes):
+        pred_c = (seg == c)
+        tgt_c = (target == c)
+        tp.append(jnp.sum(pred_c & tgt_c))
+        fp.append(jnp.sum(pred_c & ~tgt_c))
+        fn.append(jnp.sum(~pred_c & tgt_c))
+    return (jnp.stack(tp).astype(jnp.float32),
+            jnp.stack(fp).astype(jnp.float32),
+            jnp.stack(fn).astype(jnp.float32))
+
+
+def downsample_seg_for_ds(seg: jnp.ndarray,
+                          scales: Sequence[Sequence[float]]) -> List[jnp.ndarray]:
+    """Nearest-neighbour target downsampling for deep supervision. All E2ENet
+    scales are reciprocals of integer pool products, so this is exact strided
+    slicing (anchor 0), matching order-0 resize on axis-aligned grids.
+    Parity: DownsampleSegForDSTransform2 (data_augmentation/downsampling.py).
+    """
+    outs = []
+    for s in scales:
+        f = [int(round(1.0 / x)) for x in s]
+        outs.append(seg[:, ::f[0], ::f[1], ::f[2]])
+    return outs

@@ -1,0 +1,98 @@
+"""Restricted depth-shift ("shiftConvPP" shift): channel-grouped roll along
+the depth axis with zero boundary fill. Zero FLOPs, zero params — it gives the
+following (1,3,3) conv a 3D receptive field at 2D-conv cost.
+
+Semantics parity with the reference `torch_shift`
+(e2enet/network_architecture/unetpp_d.py:38-59):
+  * channels are split into `shift_size` groups with torch.chunk semantics
+    (group size ceil(C/n); possibly FEWER than n groups when C < n*ceil(C/n));
+  * group g is shifted along depth by (g - shift_size//2) voxels
+    (pad -> roll -> crop == shift with zero fill; the reference's roll on the
+    padded tensor never wraps content because |shift| <= pad);
+  * layout here is channels-last (N, D, H, W, C) — the TPU-native layout —
+    vs the reference's NCDHW.
+
+Implementation: one zero-pad of D plus `shift_size` static slices
+concatenated along C. XLA fuses this into the surrounding ops; there is no
+materialized roll.
+"""
+from typing import List, Tuple
+
+import jax.numpy as jnp
+
+
+def chunk_sizes(num_channels: int, num_chunks: int) -> List[int]:
+    """torch.chunk sizing: chunks of ceil(C/n), last chunk the remainder.
+    May produce fewer than `num_chunks` chunks."""
+    if num_chunks <= 0:
+        raise ValueError("num_chunks must be positive")
+    k = -(-num_channels // num_chunks)  # ceil
+    sizes = []
+    rem = num_channels
+    while rem > 0:
+        take = min(k, rem)
+        sizes.append(take)
+        rem -= take
+    return sizes
+
+
+def group_shifts(num_channels: int, shift_size: int) -> List[Tuple[int, int, int]]:
+    """Returns [(c_start, c_end, shift)] per channel group. Group i is shifted
+    by (i - shift_size//2); truncated-zip semantics if fewer chunks than
+    shift_size (torch: zip(chunks, range(-pad, pad+1)))."""
+    pad = shift_size // 2
+    sizes = chunk_sizes(num_channels, shift_size)
+    out = []
+    start = 0
+    # len(sizes) <= shift_size always holds, so zip never truncates shifts
+    for i, s in enumerate(sizes):
+        out.append((start, start + s, i - pad))
+        start += s
+    return out
+
+
+def depth_shift(x: jnp.ndarray, shift_size: int, axis: int = 1) -> jnp.ndarray:
+    """Apply the channel-grouped depth shift.
+
+    x: (N, D, H, W, C) channels-last (or any rank with `axis` = spatial axis
+       to shift and channels last).
+    shift_size: number of channel groups (5 for UNet++, 3 for Generic-UNet).
+    """
+    C = x.shape[-1]
+    D = x.shape[axis]
+    pad = shift_size // 2
+    if pad == 0:
+        return x
+
+    pad_widths = [(0, 0)] * x.ndim
+    pad_widths[axis] = (pad, pad)
+    xp = jnp.pad(x, pad_widths)
+
+    pieces = []
+    for c0, c1, s in group_shifts(C, shift_size):
+        # out[d] = x[d - s]  ->  slice padded at offset (pad - s)
+        start = [0] * x.ndim
+        start[axis] = pad - s
+        limit = list(xp.shape)
+        limit[axis] = pad - s + D
+        idx = tuple(
+            slice(start[a], limit[a]) if a == axis else slice(None)
+            for a in range(x.ndim - 1))
+        piece = xp[idx + (slice(c0, c1),)]
+        pieces.append(piece)
+    return jnp.concatenate(pieces, axis=-1)
+
+
+def depth_shift_reference_numpy(x, shift_size):
+    """Slow numpy oracle used by tests. x: (N, C, D, H, W) like the torch
+    reference; returns same layout."""
+    import numpy as np
+    N, C, D, H, W = x.shape
+    pad = shift_size // 2
+    out = np.zeros_like(x)
+    for (c0, c1, s) in group_shifts(C, shift_size):
+        for d in range(D):
+            src = d - s
+            if 0 <= src < D:
+                out[:, c0:c1, d] = x[:, c0:c1, src]
+    return out

@@ -1,0 +1,209 @@
+"""Sliding-window inference: step grid, Gaussian importance map, and the
+whole tiled + mirror-TTA + weighted-accumulation prediction compiled as ONE
+XLA program.
+
+Parity: reference SegmentationNetwork
+(_compute_steps_for_sliding_window neural_network.py:260-284; _get_gaussian
+:244-258; _internal_predict_3D_3Dconv_tiled :286-426;
+_internal_maybe_mirror_and_pred_3D :500-565).
+
+TPU-native redesign: instead of a Python loop issuing one forward per tile
+and 8 sequential mirror passes (reference :373-393, :529-563), mirror flips
+become a batch axis of size 2**len(mirror_axes) inside a single jitted
+program that lax.scan's over the tile grid, dynamic-slicing patches and
+scatter-adding Gaussian-weighted softmax into on-device accumulators. The
+tile count is bucketed (padded with dummy zero-weight tiles) so one compiled
+program serves many volume shapes.
+"""
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.ndimage import gaussian_filter
+
+
+def compute_steps_for_sliding_window(patch_size: Sequence[int],
+                                     image_size: Sequence[int],
+                                     step_size: float) -> List[List[int]]:
+    """Tile start coordinates per axis. Exact port of the reference math
+    (neural_network.py:260-284): ceil-spaced starts covering the volume with
+    stride at most patch_size*step_size, first tile at 0, last flush with the
+    end."""
+    assert all(i >= j for i, j in zip(image_size, patch_size)), \
+        "image size must be as large or larger than patch_size"
+    assert 0 < step_size <= 1, "step_size must be in (0, 1]"
+
+    target_step_sizes_in_voxels = [i * step_size for i in patch_size]
+    num_steps = [int(np.ceil((i - k) / j)) + 1 for i, j, k in
+                 zip(image_size, target_step_sizes_in_voxels, patch_size)]
+
+    steps = []
+    for dim in range(len(patch_size)):
+        max_step_value = image_size[dim] - patch_size[dim]
+        if num_steps[dim] > 1:
+            actual_step_size = max_step_value / (num_steps[dim] - 1)
+        else:
+            actual_step_size = 99999999999
+        steps_here = [int(np.round(actual_step_size * i))
+                      for i in range(num_steps[dim])]
+        steps.append(steps_here)
+    return steps
+
+
+@functools.lru_cache(maxsize=8)
+def gaussian_importance_map(patch_size: Tuple[int, ...],
+                            sigma_scale: float = 1.0 / 8) -> np.ndarray:
+    """Gaussian tile-blending weights, sigma = patch/8, peak normalized to 1,
+    zeros floored to the smallest positive value (so accumulation never
+    divides by 0). Parity: _get_gaussian (neural_network.py:244-258)."""
+    tmp = np.zeros(patch_size)
+    center_coords = [i // 2 for i in patch_size]
+    sigmas = [i * sigma_scale for i in patch_size]
+    tmp[tuple(center_coords)] = 1
+    g = gaussian_filter(tmp, sigmas, 0, mode="constant", cval=0)
+    g = g / np.max(g)
+    g = g.astype(np.float32)
+    g[g == 0] = np.min(g[g != 0])
+    return g
+
+
+def flip_combinations(mirror_axes: Sequence[int]) -> List[Tuple[int, ...]]:
+    """All subsets of mirror axes, identity first — the 2**n TTA passes
+    (order matches _internal_maybe_mirror_and_pred_3D m=0..7 semantics; order
+    is irrelevant since results are averaged)."""
+    axes = sorted(mirror_axes)
+    combos = [()]
+    for a in axes:
+        combos = combos + [c + (a,) for c in combos]
+    return combos
+
+
+def pad_volume_to_patch(data: np.ndarray, patch_size: Sequence[int]):
+    """Pad (C, X, Y, Z) so every spatial dim >= patch; centered padding,
+    constant 0 (reference pad_nd_image usage, neural_network.py:300). Returns
+    (padded, slicer to undo)."""
+    shape = data.shape[1:]
+    new_shape = [max(s, p) for s, p in zip(shape, patch_size)]
+    diff = [n - s for n, s in zip(new_shape, shape)]
+    lo = [d // 2 for d in diff]
+    hi = [d - l for d, l in zip(diff, lo)]
+    pad = [(0, 0)] + [(l, h) for l, h in zip(lo, hi)]
+    padded = np.pad(data, pad, mode="constant")
+    slicer = tuple([slice(None)] + [slice(l, l + s)
+                                    for l, s in zip(lo, shape)])
+    return padded, slicer
+
+
+def bucket_num_tiles(n: int, buckets=(1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+                                      1024, 2048, 4096)) -> int:
+    """Round tile count up to a bucket so XLA compiles once per bucket."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return int(2 ** np.ceil(np.log2(n)))
+
+
+def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
+                         num_classes: int,
+                         mirror_axes: Tuple[int, ...] = (0, 1, 2),
+                         do_mirroring: bool = True,
+                         accum_dtype=jnp.float32):
+    """Builds the jitted single-program sliding-window predictor.
+
+    apply_fn(params, x) -> logits for x (B, pd, ph, pw, C_in), logits
+    (B, pd, ph, pw, num_classes).
+
+    Returned fn(params, volume, starts, n_valid) with
+      volume: (X, Y, Z, C_in) padded so X,Y,Z >= patch
+      starts: (T, 3) int32 tile starts (padded to a bucket size)
+      n_valid: scalar int32, number of real tiles
+    -> (probs_sum (X, Y, Z, num_classes), weights (X, Y, Z)) accumulators.
+    """
+    pd, ph, pw = patch_size
+    combos = flip_combinations(mirror_axes) if do_mirroring else [()]
+    n_tta = len(combos)
+    gmap = jnp.asarray(gaussian_importance_map(tuple(patch_size)))
+
+    def flip_axes(c):
+        # spatial axes 0,1,2 of the patch -> array axes 1,2,3 of (B,d,h,w,C)
+        return tuple(a + 1 for a in c)
+
+    @jax.jit
+    def run(params, volume, starts, n_valid):
+        X, Y, Z, C = volume.shape
+        acc = jnp.zeros((X, Y, Z, num_classes), accum_dtype)
+        wacc = jnp.zeros((X, Y, Z), accum_dtype)
+
+        def body(carry, start):
+            acc, wacc, t = carry
+            x0, y0, z0 = start[0], start[1], start[2]
+            patch = jax.lax.dynamic_slice(
+                volume, (x0, y0, z0, 0), (pd, ph, pw, C))
+            batch = jnp.stack(
+                [jnp.flip(patch[None], flip_axes(c))[0] if c else patch
+                 for c in combos], axis=0)
+            logits = apply_fn(params, batch)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            unflipped = [
+                jnp.flip(probs[i][None], flip_axes(c))[0] if c else probs[i]
+                for i, c in enumerate(combos)]
+            mean_probs = sum(unflipped) / n_tta
+
+            valid = (t < n_valid).astype(accum_dtype)
+            w = gmap * valid
+            contrib = (mean_probs * w[..., None]).astype(accum_dtype)
+
+            sl = jax.lax.dynamic_slice(
+                acc, (x0, y0, z0, 0), (pd, ph, pw, num_classes))
+            acc = jax.lax.dynamic_update_slice(
+                acc, sl + contrib, (x0, y0, z0, 0))
+            wsl = jax.lax.dynamic_slice(wacc, (x0, y0, z0), (pd, ph, pw))
+            wacc = jax.lax.dynamic_update_slice(
+                wacc, wsl + w, (x0, y0, z0))
+            return (acc, wacc, t + 1), None
+
+        (acc, wacc, _), _ = jax.lax.scan(
+            body, (acc, wacc, jnp.int32(0)), starts)
+        return acc, wacc
+
+    return run
+
+
+def predict_volume_tiled(apply_fn, params, data: np.ndarray,
+                         patch_size: Sequence[int], num_classes: int,
+                         step_size: float = 0.5,
+                         mirror_axes: Tuple[int, ...] = (0, 1, 2),
+                         do_mirroring: bool = True,
+                         use_gaussian: bool = True,
+                         predictor=None) -> np.ndarray:
+    """Host orchestration: pad, build the step grid, run the jitted program,
+    normalize, un-pad. data: (C, X, Y, Z) float32 -> softmax (num_classes,
+    X, Y, Z).
+
+    Note: when the volume equals the patch (single tile) the reference skips
+    the Gaussian (num_tiles > 1 check, :316); with our normalization by the
+    accumulated weight map the Gaussian cancels exactly for a single tile, so
+    one code path serves both.
+    """
+    padded, slicer = pad_volume_to_patch(data, patch_size)
+    vol = np.moveaxis(padded, 0, -1)  # (X,Y,Z,C)
+    steps = compute_steps_for_sliding_window(patch_size, vol.shape[:3],
+                                             step_size)
+    starts = np.array([(x, y, z) for x in steps[0] for y in steps[1]
+                       for z in steps[2]], dtype=np.int32)
+    T = starts.shape[0]
+    Tb = bucket_num_tiles(T)
+    starts_padded = np.zeros((Tb, 3), np.int32)
+    starts_padded[:T] = starts
+
+    if predictor is None:
+        predictor = make_tiled_predictor(apply_fn, tuple(patch_size),
+                                         num_classes, tuple(mirror_axes),
+                                         do_mirroring)
+    acc, wacc = predictor(params, jnp.asarray(vol),
+                          jnp.asarray(starts_padded), jnp.int32(T))
+    probs = np.asarray(acc) / np.maximum(np.asarray(wacc)[..., None], 1e-8)
+    probs = np.moveaxis(probs, -1, 0)  # (C, X, Y, Z)
+    return probs[(slice(None),) + slicer[1:]]
