@@ -1,0 +1,104 @@
+"""Benchmark: Gaussian-weighted sliding-window inference throughput of the
+flagship ShiftUNetPlusPlus (Tconv shiftConvPP, 48 base features) on one TPU
+chip, reported as 128^3-patch forward passes per second (mirror-TTA passes
+count as patches — each is a full 128^3 forward).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline derivation (documented estimate, reference publishes no direct
+patches/sec): expected_epoch_times.md gives 43.6 s / 250 iterations for
+dummy-load 3d_fullres Heart training on A100 (batch 2, patch 40x224x192,
+fwd+bwd). fwd+bwd ~= 3x fwd => ~29 ms per-sample fwd at 1.72M voxels;
+scaled to 128^3 = 2.10M voxels => ~35 ms => ~28 patches/sec for the 30-base
+Generic_UNet; E2ENet uses 48 base features but (1,3,3) kernels (~1/3 the
+conv FLOPs), roughly cancelling => BASELINE_GPU_PATCHES_PER_SEC = 25.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_GPU_PATCHES_PER_SEC = 25.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from e2enet_tpu.models.unetpp import ShiftUNetPlusPlus
+    from e2enet_tpu.ops.sliding import (compute_steps_for_sliding_window,
+                                        gaussian_importance_map,
+                                        make_tiled_predictor)
+
+    dev = jax.devices()[0]
+    log("device:", dev)
+    on_tpu = dev.platform != "cpu"
+
+    patch = (128, 128, 128) if on_tpu else (32, 32, 32)
+    vol_shape = (192, 192, 192) if on_tpu else (48, 48, 48)
+    num_classes = 16   # AMOS-CT-like organ count
+    num_mod = 1
+
+    model = ShiftUNetPlusPlus(
+        input_channels=num_mod, num_classes=num_classes,
+        pool_op_kernel_sizes=((2, 2, 2),) * 5,
+        base_num_features=48 if on_tpu else 8,
+        compute_dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, *patch, num_mod), jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    log(f"params: {n_params/1e6:.2f}M  patch={patch}  volume={vol_shape}")
+
+    apply_fn = lambda p, x: model.apply(p, x, do_ds=False)
+    predictor = make_tiled_predictor(apply_fn, patch, num_classes,
+                                     mirror_axes=(0, 1, 2),
+                                     do_mirroring=True)
+
+    steps = compute_steps_for_sliding_window(patch, vol_shape, 0.5)
+    starts = np.array([(a, b, c) for a in steps[0] for b in steps[1]
+                       for c in steps[2]], np.int32)
+    n_tiles = len(starts)
+    tta = 8
+    log(f"tiles: {n_tiles} x {tta} TTA passes")
+
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(rng.randn(*vol_shape, num_mod).astype(np.float32))
+    starts_j = jnp.asarray(starts)
+    n_valid = jnp.int32(n_tiles)
+
+    # warmup/compile
+    t0 = time.time()
+    acc, w = predictor(params, vol, starts_j, n_valid)
+    jax.block_until_ready((acc, w))
+    log(f"compile+first run: {time.time()-t0:.1f}s")
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        acc, w = predictor(params, vol, starts_j, n_valid)
+    jax.block_until_ready((acc, w))
+    dt = (time.time() - t0) / reps
+    patches_per_sec = n_tiles * tta / dt
+    log(f"sliding-window: {dt*1000:.1f} ms/volume, "
+        f"{patches_per_sec:.2f} {patch} patches/sec")
+
+    # scale CPU smoke numbers to nothing — only report honestly on TPU
+    result = {
+        "metric": "sliding_window_patch_throughput",
+        "value": round(float(patches_per_sec), 3),
+        "unit": f"{patch[0]}^3_patches_per_sec_per_chip_tta8",
+        "vs_baseline": round(float(patches_per_sec
+                                   / BASELINE_GPU_PATCHES_PER_SEC), 3)
+        if on_tpu else 0.0,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

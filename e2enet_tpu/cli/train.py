@@ -1,0 +1,119 @@
+"""Train CLI.
+
+Parity: reference simple_main.py (:33-220): resolves the task/plans,
+instantiates the trainer (Tconv dispatch), optional DSFF sparse config
+(sparselearning add_sparse_args flags, core_channel.py:17-31), runs training
+(+ optional validation only / continue).
+
+Usage:
+  python -m e2enet_tpu.cli.train --task 4 --fold 0 --Tconv shiftConvPP \
+      --sparse True --sparse_init uniform --growth random --density 0.2 \
+      --death-rate 0.5 --update_frequency 1200 --epochs 1000 --batches 250
+"""
+import argparse
+import os
+
+from .. import paths
+from ..plans import Plans
+from ..training.dsff import DSFFConfig
+from ..training.trainer import TPUTrainer
+from ..utils.files import isdir, isfile, join, maybe_mkdir_p
+from ..utils.task_names import convert_id_to_task_name
+
+
+def str2bool(v):
+    return str(v).lower() in ("yes", "true", "t", "1")
+
+
+def get_default_configuration(network: str, task: str,
+                              plans_identifier: str = "nnUNetPlansv2.1"):
+    """Resolve plans file / output dir / stage for a task (parity:
+    run/default_configuration.py:34-80)."""
+    preproc_dir = join(paths.require(paths.get_preprocessing_output_dir(),
+                                     "preprocessed dir"), task)
+    plans_json = join(preproc_dir, plans_identifier + "_plans_3D.json")
+    plans_pkl = join(preproc_dir, plans_identifier + "_plans_3D.pkl")
+    plans_file = plans_json if isfile(plans_json) else plans_pkl
+    plans = Plans.load(plans_file)
+    possible_stages = sorted(plans.plans_per_stage.keys())
+    if network in ("3d_lowres",) and len(possible_stages) == 1:
+        raise RuntimeError("3d_lowres only applies to multi-stage plans")
+    stage = (possible_stages[0] if network == "3d_lowres"
+             else possible_stages[-1])
+    results_dir = paths.require(paths.get_results_dir(), "RESULTS_FOLDER")
+    output_folder = join(results_dir, network, task,
+                         "TPUTrainer__" + plans_identifier)
+    batch_dice = network != "2d"
+    return plans, output_folder, preproc_dir, stage, batch_dice
+
+
+def main(args=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--network", type=str, default="3d_fullres")
+    parser.add_argument("--task", type=str, required=True)
+    parser.add_argument("--fold", type=str, default="0",
+                        help="0..4 or 'all'")
+    parser.add_argument("--Tconv", type=str, default="shiftConvPP")
+    parser.add_argument("--epochs", type=int, default=200)
+    parser.add_argument("--batches", type=int, default=100,
+                        help="batches per epoch")
+    parser.add_argument("--val_batches", type=int, default=50)
+    parser.add_argument("--base_features", type=int, default=48)
+    parser.add_argument("-c", "--continue_training", action="store_true")
+    parser.add_argument("--validation_only", action="store_true")
+    parser.add_argument("--valbest", action="store_true")
+    parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("-p", "--plans_identifier", type=str,
+                        default="nnUNetPlansv2.1")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--da_threads", type=int, default=1)
+    # DSFF flags (parity: add_sparse_args)
+    parser.add_argument("--sparse", type=str2bool, default=False)
+    parser.add_argument("--sparse_init", type=str, default="uniform")
+    parser.add_argument("--growth", type=str, default="random")
+    parser.add_argument("--death", type=str, default="magnitude")
+    parser.add_argument("--death-rate", dest="death_rate", type=float,
+                        default=0.5)
+    parser.add_argument("--density", type=float, default=0.3)
+    parser.add_argument("--final_density", type=float, default=0.05)
+    parser.add_argument("--update_frequency", type=int, default=1200)
+    parser.add_argument("--fix", type=str2bool, default=False)
+    a = parser.parse_args(args)
+
+    task = a.task
+    if not task.startswith("Task"):
+        task = convert_id_to_task_name(int(task))
+    fold = a.fold if a.fold == "all" else int(a.fold)
+
+    plans, output_folder, preproc_dir, stage, batch_dice = \
+        get_default_configuration(a.network, task, a.plans_identifier)
+
+    dsff_cfg = None
+    if a.sparse:
+        dsff_cfg = DSFFConfig(
+            sparse=True, sparse_init=a.sparse_init, growth=a.growth,
+            death=a.death, death_rate=a.death_rate, density=a.density,
+            final_density=a.final_density,
+            update_frequency=a.update_frequency, fix=a.fix)
+
+    trainer = TPUTrainer(
+        plans, fold, output_folder, dataset_directory=preproc_dir,
+        stage=stage, batch_dice=batch_dice, tconv=a.Tconv,
+        max_num_epochs=a.epochs, num_batches_per_epoch=a.batches,
+        num_val_batches_per_epoch=a.val_batches,
+        fp16=not a.fp32, dsff_config=dsff_cfg, seed=a.seed,
+        num_da_threads=a.da_threads, base_num_features=a.base_features)
+    trainer.initialize(not a.validation_only)
+
+    if not a.validation_only:
+        if a.continue_training and isfile(trainer.checkpoint_path("latest")):
+            trainer.load_checkpoint_file("latest")
+        trainer.run_training()
+    else:
+        which = "best" if a.valbest else "final_checkpoint"
+        trainer.load_checkpoint_file(which, train=False)
+    trainer.validate()
+
+
+if __name__ == "__main__":
+    main()

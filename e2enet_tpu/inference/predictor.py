@@ -1,0 +1,208 @@
+"""Folder prediction: case discovery, preprocessing, fold-ensemble
+sliding-window inference, export.
+
+Parity: reference inference/predict.py (predict_from_folder :675-771,
+predict_cases :194-356, case discovery by the _0000.nii.gz convention
+:639-672, multi-process sharding [part_id::num_parts] :745) and
+training/model_restore.py (restore trainer + all fold params :44-154, Tconv
+recovered from the checkpoint name :144-148).
+
+TPU redesign: per tile, the 8 mirror-TTA flips run as one batched forward
+inside a single compiled program (ops/sliding.make_tiled_predictor); fold
+ensembling hot-swaps param pytrees on device and accumulates softmax on the
+host. A background thread preprocesses the next case while the TPU predicts
+the current one (reference's preprocess_multithreaded Queue(1), :93-128).
+"""
+import os
+import queue
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sliding import make_tiled_predictor, predict_volume_tiled
+from ..plans import Plans
+from ..preprocessing.preprocessor import GenericPreprocessor
+from ..models.unetpp import build_network
+from ..training.checkpoint import load_checkpoint
+from ..utils.files import (isdir, isfile, join, load_json, load_pickle,
+                           maybe_mkdir_p, subfiles)
+from .export import save_segmentation_nifti_from_softmax
+
+
+def check_input_folder_and_return_caseIDs(input_folder: str,
+                                          expected_num_modalities: int):
+    """Case discovery by the _XXXX.nii.gz convention (predict.py:639-672)."""
+    files = subfiles(input_folder, join=False, suffix=".nii.gz", sort=True)
+    maybe_case_ids = np.unique([i[:-12] for i in files])
+    remaining = set(files)
+    missing = []
+    for c in maybe_case_ids:
+        for n in range(expected_num_modalities):
+            expected = f"{c}_{n:04d}.nii.gz"
+            if expected in remaining:
+                remaining.remove(expected)
+            else:
+                missing.append(expected)
+    assert len(missing) == 0, f"missing modality files: {missing}"
+    if len(remaining):
+        print("WARNING: unexpected files:", sorted(remaining))
+    return list(maybe_case_ids)
+
+
+class ModelBundle:
+    """All folds of one trained model, restored from checkpoints."""
+
+    def __init__(self, model_folder: str, folds: Sequence, tconv: str,
+                 checkpoint_name: Optional[str] = None,
+                 compute_dtype=jnp.bfloat16):
+        self.model_folder = model_folder
+        self.tconv = tconv
+        checkpoint_name = checkpoint_name or f"{tconv}_model_final_checkpoint"
+
+        if folds is None or (isinstance(folds, (list, tuple))
+                             and folds[0] == "all"):
+            fold_dirs = [join(model_folder, "all")] if isdir(
+                join(model_folder, "all")) else sorted(
+                [join(model_folder, d) for d in os.listdir(model_folder)
+                 if d.startswith("fold_")])
+        else:
+            fold_dirs = [join(model_folder, f"fold_{f}") for f in folds]
+        assert len(fold_dirs) > 0, f"no folds found in {model_folder}"
+
+        self.fold_params = []
+        sidecar = None
+        for fd in fold_dirs:
+            ckpt = join(fd, checkpoint_name + ".model")
+            assert isfile(ckpt), f"checkpoint missing: {ckpt}"
+            state, _epoch, _meta = load_checkpoint(ckpt)
+            from ..training import dsff
+            params = state.params
+            if state.masks is not None:
+                params = dsff.apply_masks(params, state.masks)
+            self.fold_params.append(params)
+            if sidecar is None and isfile(ckpt + ".pkl"):
+                sidecar = load_pickle(ckpt + ".pkl")
+        assert sidecar is not None, "checkpoint sidecar pkl missing"
+        self.plans = Plans.from_dict(sidecar["plans"])
+        self.stage = sidecar["init"].get("stage", 0) or 0
+        self.stage_plan = self.plans.plans_per_stage[self.stage]
+        self.num_classes = self.plans.num_classes + 1
+        self.network = build_network(
+            self.stage_plan, self.plans.num_modalities, self.num_classes,
+            tconv=tconv,
+            base_num_features=sidecar["init"].get("base_num_features", 48),
+            compute_dtype=compute_dtype)
+        self.patch_size = tuple(int(i) for i in self.stage_plan.patch_size)
+
+    def make_preprocessor(self) -> GenericPreprocessor:
+        return GenericPreprocessor(
+            self.plans.normalization_schemes,
+            self.plans.use_mask_for_norm,
+            self.plans.transpose_forward,
+            self.plans.intensity_properties)
+
+
+def predict_case(bundle: ModelBundle, data: np.ndarray,
+                 do_tta: bool = True, step_size: float = 0.5,
+                 predictor_cache: Optional[dict] = None) -> np.ndarray:
+    """Fold-ensemble softmax for preprocessed data (C, X, Y, Z)."""
+    apply_fn = lambda params, x: bundle.network.apply(
+        {"params": params}, x, do_ds=False)
+    key = (bundle.patch_size, do_tta)
+    if predictor_cache is not None and key in predictor_cache:
+        predictor = predictor_cache[key]
+    else:
+        predictor = make_tiled_predictor(
+            apply_fn, bundle.patch_size, bundle.num_classes,
+            mirror_axes=(0, 1, 2), do_mirroring=do_tta)
+        if predictor_cache is not None:
+            predictor_cache[key] = predictor
+    softmax_sum = None
+    for params in bundle.fold_params:
+        probs = predict_volume_tiled(
+            apply_fn, params, data, bundle.patch_size, bundle.num_classes,
+            step_size=step_size, do_mirroring=do_tta, predictor=predictor)
+        softmax_sum = probs if softmax_sum is None else softmax_sum + probs
+    return softmax_sum / len(bundle.fold_params)
+
+
+def predict_from_folder(model_folder: str, input_folder: str,
+                        output_folder: str, folds, save_npz: bool,
+                        do_tta: bool = True, step_size: float = 0.5,
+                        checkpoint_name: Optional[str] = None,
+                        tconv: str = "shiftConvPP",
+                        part_id: int = 0, num_parts: int = 1,
+                        overwrite_existing: bool = True,
+                        disable_postprocessing: bool = False):
+    maybe_mkdir_p(output_folder)
+    bundle = ModelBundle(model_folder, folds, tconv, checkpoint_name)
+    expected_num_modalities = bundle.plans.num_modalities
+    case_ids = check_input_folder_and_return_caseIDs(
+        input_folder, expected_num_modalities)
+    case_ids = case_ids[part_id::num_parts]
+
+    all_files = subfiles(input_folder, join=False, suffix=".nii.gz",
+                         sort=True)
+    list_of_lists = [
+        [join(input_folder, f) for f in all_files
+         if f[:len(c)].startswith(c) and len(f) == len(c) + 12]
+        for c in case_ids]
+    output_files = [join(output_folder, f"{c}.nii.gz") for c in case_ids]
+
+    if not overwrite_existing:
+        keep = [i for i, o in enumerate(output_files) if not isfile(o)]
+        list_of_lists = [list_of_lists[i] for i in keep]
+        output_files = [output_files[i] for i in keep]
+        case_ids = [case_ids[i] for i in keep]
+
+    preprocessor = bundle.make_preprocessor()
+    target_spacing = bundle.stage_plan.current_spacing
+
+    # background preprocessing: overlap host prep of case i+1 with device
+    # inference of case i (reference Queue(1) pipeline, predict.py:93-128)
+    q: "queue.Queue" = queue.Queue(maxsize=1)
+
+    def producer():
+        for files, ofile in zip(list_of_lists, output_files):
+            d, s, props = preprocessor.preprocess_test_case(files,
+                                                            target_spacing)
+            q.put((d, props, ofile))
+        q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    pp_file = join(model_folder, "postprocessing.json")
+    postprocess = None
+    if not disable_postprocessing and isfile(pp_file):
+        from ..postprocessing.connected_components import \
+            load_postprocessing_fn
+        postprocess = load_postprocessing_fn(pp_file)
+
+    predictor_cache = {}
+    results = []
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        data, props, ofile = item
+        print("predicting", os.path.basename(ofile))
+        softmax = predict_case(bundle, data, do_tta=do_tta,
+                               step_size=step_size,
+                               predictor_cache=predictor_cache)
+        transpose_backward = bundle.plans.transpose_backward
+        softmax = softmax.transpose(
+            [0] + [int(i) + 1 for i in transpose_backward])
+        npz_file = ofile[:-7] + ".npz" if save_npz else None
+        if postprocess is not None:
+            save_segmentation_nifti_from_softmax(
+                softmax, ofile, props, 1, None, postprocess["fn"],
+                postprocess["args"], npz_file)
+        else:
+            save_segmentation_nifti_from_softmax(
+                softmax, ofile, props, 1, None, None, None, npz_file)
+        results.append(ofile)
+    t.join()
+    return results

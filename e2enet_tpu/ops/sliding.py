@@ -109,11 +109,15 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
                          num_classes: int,
                          mirror_axes: Tuple[int, ...] = (0, 1, 2),
                          do_mirroring: bool = True,
-                         accum_dtype=jnp.float32):
+                         accum_dtype=jnp.float32,
+                         tta_batch: int = 1):
     """Builds the jitted single-program sliding-window predictor.
 
     apply_fn(params, x) -> logits for x (B, pd, ph, pw, C_in), logits
     (B, pd, ph, pw, num_classes).
+
+    tta_batch: how many mirror flips run per forward as a batch dimension
+    (more = more MXU parallelism, x activation memory; 1 = sequential).
 
     Returned fn(params, volume, starts, n_valid) with
       volume: (X, Y, Z, C_in) padded so X,Y,Z >= patch
@@ -125,31 +129,42 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
     combos = flip_combinations(mirror_axes) if do_mirroring else [()]
     n_tta = len(combos)
     gmap = jnp.asarray(gaussian_importance_map(tuple(patch_size)))
+    tta_batch = max(1, min(tta_batch, n_tta))
+    assert n_tta % tta_batch == 0, "tta_batch must divide 2**len(mirror_axes)"
+    # (n_chunks, tta_batch, 3) boolean flip flags — TTA runs as a scan over
+    # chunks so the conv graph is instantiated ONCE, not 8x (compile time)
+    flip_flags = np.array([[a in c for a in (0, 1, 2)] for c in combos],
+                          bool).reshape(-1, tta_batch, 3)
 
-    def flip_axes(c):
-        # spatial axes 0,1,2 of the patch -> array axes 1,2,3 of (B,d,h,w,C)
-        return tuple(a + 1 for a in c)
+    def apply_flips(x, flags):
+        # x: (d, h, w, C); flags: (3,) booleans (traced)
+        for ax in range(3):
+            x = jnp.where(flags[ax], jnp.flip(x, axis=ax), x)
+        return x
 
     @jax.jit
     def run(params, volume, starts, n_valid):
         X, Y, Z, C = volume.shape
         acc = jnp.zeros((X, Y, Z, num_classes), accum_dtype)
         wacc = jnp.zeros((X, Y, Z), accum_dtype)
+        flags_chunks = jnp.asarray(flip_flags)
 
         def body(carry, start):
             acc, wacc, t = carry
             x0, y0, z0 = start[0], start[1], start[2]
             patch = jax.lax.dynamic_slice(
                 volume, (x0, y0, z0, 0), (pd, ph, pw, C))
-            batch = jnp.stack(
-                [jnp.flip(patch[None], flip_axes(c))[0] if c else patch
-                 for c in combos], axis=0)
-            logits = apply_fn(params, batch)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            unflipped = [
-                jnp.flip(probs[i][None], flip_axes(c))[0] if c else probs[i]
-                for i, c in enumerate(combos)]
-            mean_probs = sum(unflipped) / n_tta
+
+            def tta_chunk(prob_sum, flags):
+                batch = jax.vmap(lambda f: apply_flips(patch, f))(flags)
+                logits = apply_fn(params, batch)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                unflipped = jax.vmap(apply_flips)(probs, flags)
+                return prob_sum + jnp.sum(unflipped, axis=0), None
+
+            prob_sum = jnp.zeros((pd, ph, pw, num_classes), jnp.float32)
+            prob_sum, _ = jax.lax.scan(tta_chunk, prob_sum, flags_chunks)
+            mean_probs = prob_sum / n_tta
 
             valid = (t < n_valid).astype(accum_dtype)
             w = gmap * valid
@@ -204,6 +219,10 @@ def predict_volume_tiled(apply_fn, params, data: np.ndarray,
                                          do_mirroring)
     acc, wacc = predictor(params, jnp.asarray(vol),
                           jnp.asarray(starts_padded), jnp.int32(T))
-    probs = np.asarray(acc) / np.maximum(np.asarray(wacc)[..., None], 1e-8)
+    wacc = np.asarray(wacc)
+    # every voxel is covered by >=1 tile so wacc > 0 (the Gaussian's zeros
+    # are floored to its min positive value); guard only against true zeros
+    wacc = np.where(wacc == 0, 1.0, wacc)
+    probs = np.asarray(acc) / wacc[..., None]
     probs = np.moveaxis(probs, -1, 0)  # (C, X, Y, Z)
     return probs[(slice(None),) + slicer[1:]]

@@ -1,0 +1,80 @@
+"""Device-mesh scale-out: data-parallel + spatial-parallel sharding.
+
+The reference's distribution story is NCCL DDP (one process per GPU,
+gradient allreduce + a custom autograd allgather for the global batch Dice,
+nnUNetTrainerV2_DDP.py:67,198,260-305 and utilities/distributed.py:27-48).
+The TPU-native equivalent needs NO hand-written communication: a
+`jax.sharding.Mesh` with
+  * axis "data": batch dimension sharded -> XLA inserts the gradient
+    psum (DDP allreduce) automatically;
+  * axis "space": the H spatial dimension of the volume sharded -> GSPMD
+    inserts halo exchanges for the 3x3 convs (the "sequence parallel"
+    analog for volumetric data; lets patch sizes exceed one chip's HBM).
+The global batch-Dice of the DDP trainer (psum of tp/fp/fn) falls out of the
+sharded loss reduction for free.
+"""
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              data_parallel: Optional[int] = None,
+              spatial_parallel: int = 1,
+              axis_names: Tuple[str, str] = ("data", "space")) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data_parallel is None:
+        data_parallel = n // spatial_parallel
+    assert data_parallel * spatial_parallel == n, \
+        f"{data_parallel}x{spatial_parallel} != {n} devices"
+    dev_array = np.array(devices).reshape(data_parallel, spatial_parallel)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, D, H, W, C): batch over 'data', H over 'space'."""
+    return NamedSharding(mesh, P("data", None, "space"))
+
+
+def target_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, D, H, W) int targets."""
+    return NamedSharding(mesh, P("data", None, "space"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, data, targets):
+    """Places a host batch onto the mesh with dp+sp shardings."""
+    data = jax.device_put(data, batch_sharding(mesh))
+    targets = tuple(jax.device_put(t, target_sharding(mesh))
+                    for t in targets)
+    return data, targets
+
+
+def replicate_state(mesh: Mesh, state):
+    return jax.device_put(state, replicated(mesh))
+
+
+def make_sharded_train_step(model, ds_weights, mesh: Mesh,
+                            batch_dice: bool = True):
+    """jitted train step with explicit shardings: state replicated, batch
+    dp+sp sharded. XLA emits the gradient all-reduce over 'data' and conv
+    halo exchanges over 'space'."""
+    from ..training.train_state import make_train_step
+    step = make_train_step(model, ds_weights, batch_dice, donate=False,
+                           jit_compile=False)
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    tsh = target_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, bsh, tsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,))

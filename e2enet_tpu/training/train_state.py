@@ -1,0 +1,139 @@
+"""Train state + jitted train/eval steps.
+
+The whole inner loop of the reference trainer
+(nnUNetTrainer_simple.run_iteration :528-581: forward -> DC+CE deep
+supervision -> backward -> grad-clip 12 -> SGD(momentum .99, nesterov,
+wd 3e-5) -> mask.step()) is one jitted function of (state, batch, lr).
+
+Optimizer semantics are torch.optim.SGD exactly (weight decay added to the
+gradient, momentum buffer b = m*b + g, nesterov update g + m*b), implemented
+directly so DSFF momentum masking (apply_mask zeroing momentum_buffer,
+core_channel.py:427-434) is a plain tree op on the state.
+
+Precision: params float32, network compute bfloat16 (reference trains fp16
+autocast + GradScaler; bf16 needs no loss scaling on TPU), loss/grad-norm
+math float32.
+"""
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.losses import deep_supervision_loss, hard_tp_fp_fn
+from . import dsff
+
+GRAD_CLIP_NORM = 12.0
+MOMENTUM = 0.99
+WEIGHT_DECAY = 3e-5
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    momentum: Any
+    masks: Any                # dict path-tuple -> (in,out) mask, or None
+    rng: jax.Array
+    step: jnp.ndarray         # int32 global step
+
+
+def create_train_state(params, masks=None, seed: int = 0) -> TrainState:
+    momentum = jax.tree_util.tree_map(jnp.zeros_like, params)
+    if masks is not None:
+        params = dsff.apply_masks(params, masks)
+    return TrainState(params=params, momentum=momentum, masks=masks,
+                      rng=jax.random.PRNGKey(seed),
+                      step=jnp.asarray(0, jnp.int32))
+
+
+def global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in leaves))
+
+
+def clip_by_global_norm(tree, max_norm: float):
+    norm = global_norm(tree)
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree_util.tree_map(lambda g: g * scale, tree), norm
+
+
+def sgd_nesterov_update(params, momentum, grads, lr,
+                        weight_decay: float = WEIGHT_DECAY,
+                        mom: float = MOMENTUM):
+    """torch.optim.SGD(momentum, nesterov=True, weight_decay) semantics."""
+    tm = jax.tree_util.tree_map
+    g_wd = tm(lambda g, p: g.astype(jnp.float32) + weight_decay * p,
+              grads, params)
+    new_momentum = tm(lambda b, g: mom * b + g, momentum, g_wd)
+    new_params = tm(lambda p, g, b: p - lr * (g + mom * b),
+                    params, g_wd, new_momentum)
+    return new_params, new_momentum
+
+
+def make_train_step(model, ds_weights, batch_dice: bool = True,
+                    donate: bool = True, jit_compile: bool = True):
+    """Returns jitted train_step(state, data, targets, lr) ->
+    (state, metrics). data: (B, D, H, W, C) f32; targets: tuple of int32
+    arrays per DS level."""
+    weights = [float(w) for w in ds_weights]
+
+    def loss_fn(params, data, targets):
+        # params are kept masked invariantly (create_train_state + the
+        # post-update re-mask below), so gradients here are the FULL
+        # gradients incl. dead kernels — matching the reference, where
+        # apply_mask zeroes weight.data and grads flow at w=0 (needed by
+        # kernel_grad_growth).
+        outs = model.apply({"params": params}, data, do_ds=True)
+        loss = deep_supervision_loss(outs, targets, weights,
+                                     batch_dice=batch_dice)
+        return loss
+
+    def train_step(state: TrainState, data, targets, lr):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, data, targets)
+        grads, gnorm = clip_by_global_norm(grads, GRAD_CLIP_NORM)
+        new_params, new_momentum = sgd_nesterov_update(
+            state.params, state.momentum, grads, lr)
+        if state.masks is not None:
+            new_params = dsff.apply_masks(new_params, state.masks)
+            new_momentum = dsff.apply_masks(new_momentum, state.masks)
+        new_state = state.replace(params=new_params, momentum=new_momentum,
+                                  step=state.step + 1)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    if not jit_compile:
+        return train_step
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, ds_weights, batch_dice: bool = True):
+    """Jitted validation iteration: loss + hard tp/fp/fn of the full-res
+    head (run_online_evaluation parity)."""
+    weights = [float(w) for w in ds_weights]
+
+    def eval_step(params, data, targets):
+        outs = model.apply({"params": params}, data, do_ds=True)
+        loss = deep_supervision_loss(outs, targets, weights,
+                                     batch_dice=batch_dice)
+        tp, fp, fn = hard_tp_fp_fn(outs[0], targets[0])
+        return {"loss": loss, "tp": tp, "fp": fp, "fn": fn}
+
+    return jax.jit(eval_step)
+
+
+def make_mask_update_step(growth_mode: str = "random"):
+    """Jitted DSFF truncate_weights: (state, death_rate, grads?) -> state
+    with new masks applied to params + momentum."""
+
+    def update(state: TrainState, death_rate, grads=None):
+        rng, sub = jax.random.split(state.rng)
+        new_masks, _stats = dsff.death_growth_update(
+            state.params, grads, state.masks, sub, death_rate,
+            growth_mode=growth_mode)
+        params = dsff.apply_masks(state.params, new_masks)
+        momentum = dsff.apply_masks(state.momentum, new_masks)
+        return state.replace(params=params, momentum=momentum,
+                             masks=new_masks, rng=rng)
+
+    return jax.jit(update)

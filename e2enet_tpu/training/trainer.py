@@ -1,0 +1,457 @@
+"""TPUTrainer — the E2ENet training orchestrator.
+
+Parity: reference nnUNetTrainer_simple (training/network_training/
+nnUNetTrainer_simple.py): plans ingestion (:1029-1103), DA setup (:682-733),
+DS loss weights (:200-215), generators (:735-754), SGD(1e-2, .99 nesterov,
+wd 3e-5) + poly LR (:367-371, :756-771), epoch loop with online foreground
+Dice (:929-1020, :373-423), checkpoints named
+'{Tconv}_model_{latest,best,final_checkpoint}.model' (:1140-1176), DSFF
+mask.step() per iteration with cosine death-rate decay and periodic
+truncate_weights (sparselearning/core_channel.py:290-317), matplotlib
+progress plot (network_trainer.py:188-223), debug.json field dump
+(:886-906).
+
+TPU redesign: the inner loop is one jitted train_step; batches stream from a
+background-thread augmentation pipeline; the DSFF update is a jitted pytree
+function; metrics live on device until epoch end.
+"""
+import json
+import os
+import time
+from collections import OrderedDict
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.augment import AugmentParams, get_patch_size
+from ..data.dataset import do_split, load_dataset, unpack_dataset
+from ..data.pipeline import BatchPipeline
+from ..data.sampler import PatchSampler3D
+from ..models.unetpp import (build_network, deep_supervision_scales,
+                             ds_loss_weights)
+from ..plans import Plans
+from ..utils.files import (isfile, join, load_pickle, maybe_mkdir_p,
+                           save_json)
+from ..utils.logger import RunLogger
+from ..utils.registry import TRAINERS
+from . import dsff
+from .checkpoint import load_checkpoint, save_checkpoint
+from .lr import poly_lr
+from .train_state import (TrainState, create_train_state, make_eval_step,
+                          make_mask_update_step, make_train_step)
+
+
+@TRAINERS.register()
+class TPUTrainer:
+    def __init__(self, plans: Plans, fold, output_folder: str,
+                 dataset_directory: Optional[str] = None, stage: int = 0,
+                 batch_dice: bool = True, tconv: str = "shiftConvPP",
+                 max_num_epochs: int = 200, num_batches_per_epoch: int = 100,
+                 num_val_batches_per_epoch: int = 50, unpack_data: bool = True,
+                 fp16: bool = True, dsff_config: Optional[dsff.DSFFConfig] = None,
+                 seed: int = 0, num_da_threads: int = 1,
+                 base_num_features: int = 48):
+        self.plans = plans
+        self.fold = fold
+        self.stage = stage
+        self.tconv = tconv
+        self.batch_dice = batch_dice
+        self.max_num_epochs = max_num_epochs
+        self.num_batches_per_epoch = num_batches_per_epoch
+        self.num_val_batches_per_epoch = num_val_batches_per_epoch
+        self.unpack_data = unpack_data
+        self.fp16 = fp16
+        self.dsff_config = dsff_config
+        self.seed = seed
+        self.num_da_threads = num_da_threads
+        self.base_num_features = base_num_features
+
+        self.output_folder_base = output_folder
+        self.output_folder = join(output_folder, f"fold_{fold}")
+        maybe_mkdir_p(self.output_folder)
+        self.dataset_directory = dataset_directory
+        self.gt_niftis_folder = (join(dataset_directory, "gt_segmentations")
+                                 if dataset_directory else None)
+
+        self.logger = RunLogger(self.output_folder)
+        self.initial_lr = 1e-2
+        self.oversample_foreground_percent = 0.33
+
+        self.stage_plan = plans.plans_per_stage[stage]
+        self.patch_size = np.array(self.stage_plan.patch_size)
+        self.batch_size = int(self.stage_plan.batch_size)
+        self.num_classes = plans.num_classes + 1  # incl. background
+        self.num_modalities = plans.num_modalities
+
+        self.epoch = 0
+        self.all_tr_losses = []
+        self.all_val_losses = []
+        self.all_val_eval_metrics = []
+        self.train_loss_MA = None
+        self.best_val_eval_criterion_MA = None
+        self.val_eval_criterion_MA = None
+        self.val_eval_criterion_alpha = 0.9
+        self.save_every = 1
+
+        self.was_initialized = False
+
+    # ----------------------------------------------------------- setup
+    def initialize(self, training: bool = True):
+        if self.was_initialized:
+            return
+        import jax.numpy as jnp
+        self.network = build_network(
+            self.stage_plan, self.num_modalities, self.num_classes,
+            tconv=self.tconv, base_num_features=self.base_num_features,
+            compute_dtype=jnp.bfloat16 if self.fp16 else jnp.float32)
+        self.num_pool = len(self.stage_plan.pool_op_kernel_sizes)
+        n_out = self.network.num_ds_outputs()
+        self.ds_weights = ds_loss_weights(self.num_pool, n_out)
+        self.ds_scales = deep_supervision_scales(
+            self.stage_plan.pool_op_kernel_sizes, n_out)
+
+        self.setup_da_params()
+
+        x0 = jnp.zeros((1, *[int(i) for i in self.patch_size],
+                        self.num_modalities), jnp.float32)
+        params = jax.jit(self.network.init)(
+            jax.random.PRNGKey(self.seed), x0)["params"]
+
+        masks = None
+        if self.dsff_config is not None and self.dsff_config.sparse:
+            mode = ("dense" if self.dsff_config.sparse_init == "dense"
+                    else self.dsff_config.sparse_init)
+            assert mode in ("uniform", "dense"), \
+                f"sparse_init '{mode}' not supported (uniform/dense)"
+            masks = dsff.init_masks(params, self.dsff_config.density,
+                                    jax.random.PRNGKey(self.seed + 1),
+                                    mode=mode)
+            self.t_max = self.max_num_epochs * self.num_batches_per_epoch
+        self.state = create_train_state(params, masks, seed=self.seed)
+
+        self.train_step = make_train_step(self.network, self.ds_weights,
+                                          self.batch_dice)
+        self.eval_step = make_eval_step(self.network, self.ds_weights,
+                                        self.batch_dice)
+        if masks is not None:
+            self.mask_update = make_mask_update_step(
+                self.dsff_config.growth)
+
+        if training:
+            self._setup_generators()
+        self.was_initialized = True
+        self.logger.log(f"initialized TPUTrainer Tconv={self.tconv} "
+                        f"patch={list(self.patch_size)} "
+                        f"batch={self.batch_size} classes={self.num_classes}")
+
+    def setup_da_params(self):
+        rot = (-30.0 / 360 * 2 * np.pi, 30.0 / 360 * 2 * np.pi)
+        do_dummy_2d = bool(self.stage_plan.do_dummy_2D_data_aug)
+        if do_dummy_2d:
+            rot_x = (-180.0 / 360 * 2 * np.pi, 180.0 / 360 * 2 * np.pi)
+            basic = get_patch_size(self.patch_size[1:], rot_x,
+                                   (0, 0), (0, 0), (0.7, 1.4))
+            self.basic_generator_patch_size = np.array(
+                [self.patch_size[0]] + list(basic))
+            rot = rot_x
+        else:
+            self.basic_generator_patch_size = get_patch_size(
+                self.patch_size, rot, rot, rot, (0.7, 1.4))
+        self.da_params = AugmentParams(
+            patch_size=tuple(int(i) for i in self.patch_size),
+            rotation_x=rot if not do_dummy_2d else rot,
+            do_dummy_2D=do_dummy_2d,
+            mask_was_used_for_normalization=self.plans.use_mask_for_norm,
+            deep_supervision_scales=self.ds_scales)
+
+    def _setup_generators(self):
+        folder = join(self.dataset_directory,
+                      self.plans.data_identifier + "_stage%d" % self.stage)
+        self.folder_with_preprocessed_data = folder
+        if self.unpack_data:
+            unpack_dataset(folder)
+        dataset = load_dataset(folder)
+        splits_file = join(self.dataset_directory, "splits_final.pkl")
+        tr_keys, val_keys = do_split(dataset, self.fold, splits_file)
+        self.dataset_tr = OrderedDict((k, dataset[k]) for k in tr_keys)
+        self.dataset_val = OrderedDict((k, dataset[k]) for k in val_keys)
+        self.logger.log(f"fold {self.fold}: {len(tr_keys)} train / "
+                        f"{len(val_keys)} val cases")
+
+        sampler_tr = PatchSampler3D(
+            self.dataset_tr, self.basic_generator_patch_size,
+            self.patch_size, self.batch_size,
+            self.oversample_foreground_percent, seed=self.seed)
+        sampler_val = PatchSampler3D(
+            self.dataset_val, self.patch_size, self.patch_size,
+            self.batch_size, self.oversample_foreground_percent,
+            seed=self.seed + 100)
+        self.tr_gen = BatchPipeline(sampler_tr, self.da_params,
+                                    validation=False,
+                                    num_threads=self.num_da_threads,
+                                    seed=self.seed)
+        val_params = AugmentParams(
+            patch_size=tuple(int(i) for i in self.patch_size),
+            mask_was_used_for_normalization=self.plans.use_mask_for_norm,
+            deep_supervision_scales=self.ds_scales)
+        self.val_gen = BatchPipeline(sampler_val, val_params,
+                                     validation=True, num_threads=1,
+                                     seed=self.seed + 1)
+
+    # ------------------------------------------------------------ loops
+    def _to_device(self, batch):
+        data = jnp.asarray(np.moveaxis(batch["data"], 1, -1))
+        targets = tuple(jnp.asarray(t) for t in batch["target"])
+        return data, targets
+
+    def run_iteration(self, gen, lr, do_backprop=True,
+                      run_online_evaluation=False):
+        batch = next(gen)
+        data, targets = self._to_device(batch)
+        if do_backprop:
+            self.state, metrics = self.train_step(self.state, data, targets,
+                                                  jnp.float32(lr))
+            self._maybe_dsff_step()
+            return metrics["loss"]
+        m = self.eval_step(self.state.params, data, targets)
+        if run_online_evaluation:
+            self._online_tp.append(m["tp"])
+            self._online_fp.append(m["fp"])
+            self._online_fn.append(m["fn"])
+        return m["loss"]
+
+    def _maybe_dsff_step(self):
+        if self.state.masks is None or self.dsff_config.fix:
+            return
+        step = int(self.state.step)
+        freq = self.dsff_config.update_frequency
+        if freq and step % freq == 0:
+            dr = dsff.cosine_death_rate(jnp.asarray(step, jnp.float32),
+                                        self.dsff_config.death_rate,
+                                        self.t_max)
+            grads = None
+            self.state = self.mask_update(self.state, dr, grads)
+            dens = float(dsff.masks_density(self.state.masks,
+                                            self.state.params))
+            self.logger.log(f"DSFF update at step {step}: death_rate="
+                            f"{float(dr):.4f} density={dens:.4f}")
+
+    def finish_online_evaluation(self):
+        tp = np.sum([np.asarray(t) for t in self._online_tp], 0)
+        fp = np.sum([np.asarray(t) for t in self._online_fp], 0)
+        fn = np.sum([np.asarray(t) for t in self._online_fn], 0)
+        dc_per_class = [2 * i / (2 * i + j + k) for i, j, k in
+                        zip(tp, fp, fn) if (2 * i + j + k) > 0]
+        mean_dc = float(np.mean(dc_per_class)) if dc_per_class else 0.0
+        self.all_val_eval_metrics.append(mean_dc)
+        self.logger.log("Average global foreground Dice:",
+                        [np.round(i, 4) for i in dc_per_class])
+        return mean_dc
+
+    def maybe_update_lr(self, epoch=None):
+        ep = self.epoch + 1 if epoch is None else epoch
+        self.lr = poly_lr(ep, self.max_num_epochs, self.initial_lr, 0.9)
+        self.logger.log("lr:", np.round(self.lr, decimals=6))
+
+    def run_training(self):
+        if not self.was_initialized:
+            self.initialize(True)
+        self.save_debug_information()
+        while self.epoch < self.max_num_epochs:
+            t0 = time.time()
+            self.logger.log(f"\nepoch: {self.epoch}")
+            self.maybe_update_lr(self.epoch)
+
+            losses = []
+            for _ in range(self.num_batches_per_epoch):
+                losses.append(self.run_iteration(self.tr_gen, self.lr, True))
+            tr_loss = float(np.mean([np.asarray(l) for l in losses]))
+            self.all_tr_losses.append(tr_loss)
+            self.logger.log("train loss : %.4f" % tr_loss)
+
+            self._online_tp, self._online_fp, self._online_fn = [], [], []
+            val_losses = []
+            for _ in range(self.num_val_batches_per_epoch):
+                val_losses.append(self.run_iteration(
+                    self.val_gen, self.lr, False, True))
+            val_loss = float(np.mean([np.asarray(l) for l in val_losses]))
+            self.all_val_losses.append(val_loss)
+            self.logger.log("validation loss: %.4f" % val_loss)
+            self.finish_online_evaluation()
+
+            self.update_eval_criterion_MA()
+            self.epoch += 1
+            self.logger.log("This epoch took %f s" % (time.time() - t0))
+
+            if self.save_every and (self.epoch % self.save_every == 0):
+                self.save_checkpoint("latest")
+            if (self.best_val_eval_criterion_MA is None
+                    or self.val_eval_criterion_MA
+                    >= self.best_val_eval_criterion_MA):
+                self.best_val_eval_criterion_MA = self.val_eval_criterion_MA
+                self.save_checkpoint("best")
+            self.plot_progress()
+        self.save_checkpoint("final_checkpoint")
+        self.tr_gen.stop()
+        self.val_gen.stop()
+
+    def update_eval_criterion_MA(self):
+        v = self.all_val_eval_metrics[-1] if self.all_val_eval_metrics \
+            else -self.all_val_losses[-1]
+        if self.val_eval_criterion_MA is None:
+            self.val_eval_criterion_MA = v
+        else:
+            a = self.val_eval_criterion_alpha
+            self.val_eval_criterion_MA = a * self.val_eval_criterion_MA \
+                + (1 - a) * v
+
+    # ------------------------------------------------------- persistence
+    def checkpoint_path(self, which: str) -> str:
+        return join(self.output_folder, f"{self.tconv}_model_{which}.model")
+
+    def save_checkpoint(self, which: str):
+        sidecar = {
+            "init": {"fold": self.fold, "stage": self.stage,
+                     "tconv": self.tconv, "batch_dice": self.batch_dice,
+                     "base_num_features": self.base_num_features},
+            "name": self.__class__.__name__,
+            "class": f"{self.__class__.__module__}."
+                     f"{self.__class__.__name__}",
+            "plans": self.plans.to_dict(),
+        }
+        metadata = {
+            "all_tr_losses": self.all_tr_losses,
+            "all_val_losses": self.all_val_losses,
+            "all_val_eval_metrics": self.all_val_eval_metrics,
+            "best_val_eval_criterion_MA": self.best_val_eval_criterion_MA,
+            "val_eval_criterion_MA": self.val_eval_criterion_MA,
+        }
+        save_checkpoint(self.checkpoint_path(which), self.state, self.epoch,
+                        metadata, sidecar)
+        self.logger.log(f"saved checkpoint {which}")
+
+    def load_checkpoint_file(self, which_or_path: str, train: bool = True):
+        path = which_or_path if os.path.sep in which_or_path \
+            else self.checkpoint_path(which_or_path)
+        if not self.was_initialized:
+            self.initialize(train)
+        state, epoch, metadata = load_checkpoint(path)
+        self.state = state
+        self.epoch = epoch
+        self.all_tr_losses = metadata.get("all_tr_losses", [])
+        self.all_val_losses = metadata.get("all_val_losses", [])
+        self.all_val_eval_metrics = metadata.get("all_val_eval_metrics", [])
+        self.best_val_eval_criterion_MA = metadata.get(
+            "best_val_eval_criterion_MA")
+        self.val_eval_criterion_MA = metadata.get("val_eval_criterion_MA")
+        self.logger.log(f"restored checkpoint {path} at epoch {epoch}")
+
+    def plot_progress(self):
+        try:
+            import matplotlib
+            matplotlib.use("agg")
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(10, 6))
+            x = list(range(len(self.all_tr_losses)))
+            ax.plot(x, self.all_tr_losses, label="loss_tr")
+            ax.plot(x, self.all_val_losses, label="loss_val")
+            if self.all_val_eval_metrics:
+                ax2 = ax.twinx()
+                ax2.plot(x, self.all_val_eval_metrics, color="g",
+                         label="evaluation metric")
+                ax2.set_ylabel("evaluation metric")
+            ax.set_xlabel("epoch")
+            ax.set_ylabel("loss")
+            ax.legend()
+            fig.savefig(join(self.output_folder, "progress.png"))
+            plt.close(fig)
+        except Exception as e:
+            self.logger.log("failed to plot:", e)
+
+    # ----------------------------------------------------- validation set
+    def validate(self, do_mirroring: bool = True, step_size: float = 0.5,
+                 save_softmax: bool = False,
+                 validation_folder_name: str = "validation_raw",
+                 run_postprocessing_on_folds: bool = True):
+        """Sliding-window predict every val case -> export -> evaluate ->
+        determine postprocessing. Parity: nnUNetTrainer_simple.validate
+        (:1309-1479)."""
+        from ..inference.export import save_segmentation_nifti_from_softmax
+        from ..evaluation.evaluator import aggregate_scores
+        from ..ops.sliding import make_tiled_predictor, predict_volume_tiled
+        from ..training import dsff as _dsff
+
+        assert self.was_initialized
+        if not hasattr(self, "dataset_val"):
+            folder = join(self.dataset_directory,
+                          self.plans.data_identifier
+                          + "_stage%d" % self.stage)
+            dataset = load_dataset(folder)
+            splits_file = join(self.dataset_directory, "splits_final.pkl")
+            _, val_keys = do_split(dataset, self.fold, splits_file)
+            self.dataset_val = OrderedDict((k, dataset[k])
+                                           for k in val_keys)
+        output_folder = join(self.output_folder, validation_folder_name)
+        maybe_mkdir_p(output_folder)
+
+        params = self.state.params
+        apply_fn = lambda p, x: self.network.apply({"params": p}, x,
+                                                   do_ds=False)
+        patch = tuple(int(i) for i in self.patch_size)
+        predictor = make_tiled_predictor(apply_fn, patch, self.num_classes,
+                                         mirror_axes=(0, 1, 2),
+                                         do_mirroring=do_mirroring)
+        pred_gt_tuples = []
+        for k in self.dataset_val.keys():
+            props = load_pickle(self.dataset_val[k]["properties_file"])
+            fname = props["list_of_data_files"][0].split(os.sep)[-1][:-12]
+            from ..data.dataset import load_case
+            case_all = np.asarray(load_case(self.dataset_val[k]))
+            data = case_all[:-1]
+            softmax = predict_volume_tiled(
+                apply_fn, params, data, patch, self.num_classes,
+                step_size=step_size, do_mirroring=do_mirroring,
+                predictor=predictor)
+            transpose_backward = self.plans.transpose_backward
+            softmax = softmax.transpose(
+                [0] + [int(i) + 1 for i in transpose_backward])
+            softmax_fname = (join(output_folder, fname + ".npz")
+                             if save_softmax else None)
+            save_segmentation_nifti_from_softmax(
+                softmax, join(output_folder, fname + ".nii.gz"), props, 1,
+                None, None, None, softmax_fname, None)
+            pred_gt_tuples.append(
+                [join(output_folder, fname + ".nii.gz"),
+                 join(self.gt_niftis_folder, fname + ".nii.gz")])
+
+        aggregate_scores(
+            pred_gt_tuples, labels=list(range(self.num_classes)),
+            json_output_file=join(output_folder, "summary.json"),
+            json_name=f"{self.tconv} fold {self.fold}",
+            num_threads=2)
+
+        if run_postprocessing_on_folds:
+            from ..postprocessing.connected_components import \
+                determine_postprocessing
+            determine_postprocessing(self.output_folder,
+                                     self.gt_niftis_folder,
+                                     validation_folder_name,
+                                     final_subf_name=validation_folder_name
+                                     + "_postprocessed")
+        self.logger.log("validation done ->", output_folder)
+
+    def save_debug_information(self):
+        dct = {}
+        for k, v in self.__dict__.items():
+            if k in ("plans", "state", "network", "logger", "tr_gen",
+                     "val_gen", "dataset_tr", "dataset_val", "train_step",
+                     "eval_step", "mask_update", "da_params"):
+                continue
+            try:
+                json.dumps(v)
+                dct[k] = v
+            except TypeError:
+                dct[k] = str(v)
+        save_json(dct, join(self.output_folder, "debug.json"))

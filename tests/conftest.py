@@ -1,15 +1,23 @@
 import os
 import sys
 
-# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware. Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+# exercised without TPU hardware. NOTE: this environment has an `axon` TPU
+# plugin loaded via sitecustomize that pre-imports jax with
+# JAX_PLATFORMS=axon, so env vars (JAX_PLATFORMS / XLA_FLAGS) set here come
+# too late — use runtime config instead, which works as long as no backend
+# has been initialized yet.
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+# persistent XLA compile cache: the 1-CPU host pays ~10s+ per conv shape to
+# compile; caching makes re-runs fast
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 REFERENCE_DIR = "/root/reference"
 

@@ -84,7 +84,7 @@ def test_forward_parity_with_reference():
     Ref = import_reference_unetpp()
     pools = [list(p) for p in POOLS_5]
     torch.manual_seed(0)
-    net = Ref((8, 32, 32), 1, 8, 3, 5, 2, 2, nn.Conv3d, nn.InstanceNorm3d,
+    net = Ref((8, 64, 64), 1, 8, 3, 5, 2, 2, nn.Conv3d, nn.InstanceNorm3d,
               {'eps': 1e-5, 'affine': True}, nn.Dropout3d,
               {'p': 0, 'inplace': True}, nn.LeakyReLU,
               {'negative_slope': 1e-2, 'inplace': True}, True, False,
@@ -99,7 +99,7 @@ def test_forward_parity_with_reference():
     params = {"params": convert_unetpp_state_dict(sd, num_pool=5)}
 
     # init once to validate the converted tree structure matches exactly
-    ref_tree = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 1)))
+    ref_tree = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 64, 64, 1)))
     ref_paths = {jax.tree_util.keystr(p): v.shape for p, v in
                  jax.tree_util.tree_flatten_with_path(ref_tree)[0]}
     got_paths = {jax.tree_util.keystr(p): v.shape for p, v in
@@ -107,7 +107,7 @@ def test_forward_parity_with_reference():
     assert ref_paths == got_paths
 
     rng = np.random.RandomState(42)
-    x = rng.randn(1, 1, 8, 32, 32).astype(np.float32)  # NCDHW
+    x = rng.randn(1, 1, 8, 64, 64).astype(np.float32)  # NCDHW
     with torch.no_grad():
         ref_outs = net(torch.from_numpy(x))
     outs = m.apply(params, jnp.asarray(nchw_to_ndhwc(x)), do_ds=True)
