@@ -39,6 +39,8 @@ def main(args=None):
     parser.add_argument("--num_parts", type=int, default=1)
     parser.add_argument("--overwrite_existing", type=int, default=1)
     parser.add_argument("--disable_postprocessing", action="store_true")
+    parser.add_argument("--mode", default="normal",
+                        choices=["normal", "fast", "fastest"])
     a = parser.parse_args(args)
 
     task = a.task_name
@@ -48,11 +50,26 @@ def main(args=None):
     if folds is not None and folds != ["all"]:
         folds = [int(f) for f in folds]
 
-    model_folder = join(paths.require(paths.get_results_dir(),
-                                      "RESULTS_FOLDER"),
-                        a.model, task,
+    results_dir = paths.require(paths.get_results_dir(), "RESULTS_FOLDER")
+    model_folder = join(results_dir, a.model, task,
                         a.trainer_class_name + "__" + a.plans_identifier)
     print("using model stored in", model_folder)
+
+    segs_prev = None
+    if a.model == "3d_cascade_fullres":
+        # auto-run the lowres stage first (simple_predict.py:194-211)
+        lowres_folder = join(a.output_folder + "_lowres")
+        lowres_model = join(results_dir, "3d_lowres", task,
+                            a.trainer_class_name + "__" + a.plans_identifier)
+        print("cascade: predicting 3d_lowres ->", lowres_folder)
+        predict_from_folder(
+            lowres_model, a.input_folder, lowres_folder, folds, False,
+            do_tta=not a.disable_tta, step_size=a.step_size,
+            checkpoint_name=a.checkpoint_name, tconv=a.Tconv,
+            part_id=a.part_id, num_parts=a.num_parts,
+            overwrite_existing=bool(a.overwrite_existing),
+            disable_postprocessing=True, mode="fast")
+        segs_prev = lowres_folder
 
     predict_from_folder(
         model_folder, a.input_folder, a.output_folder, folds, a.save_npz,
@@ -60,7 +77,8 @@ def main(args=None):
         checkpoint_name=a.checkpoint_name, tconv=a.Tconv,
         part_id=a.part_id, num_parts=a.num_parts,
         overwrite_existing=bool(a.overwrite_existing),
-        disable_postprocessing=a.disable_postprocessing)
+        disable_postprocessing=a.disable_postprocessing, mode=a.mode,
+        segs_from_prev_stage_folder=segs_prev)
 
 
 if __name__ == "__main__":

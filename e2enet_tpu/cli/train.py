@@ -38,6 +38,9 @@ def get_default_configuration(network: str, task: str,
     possible_stages = sorted(plans.plans_per_stage.keys())
     if network in ("3d_lowres",) and len(possible_stages) == 1:
         raise RuntimeError("3d_lowres only applies to multi-stage plans")
+    if network in ("3d_cascade_fullres",) and len(possible_stages) == 1:
+        raise RuntimeError(
+            "3d_cascade_fullres requires multi-stage plans (3d_lowres)")
     stage = (possible_stages[0] if network == "3d_lowres"
              else possible_stages[-1])
     results_dir = paths.require(paths.get_results_dir(), "RESULTS_FOLDER")
@@ -96,9 +99,10 @@ def main(args=None):
             final_density=a.final_density,
             update_frequency=a.update_frequency, fix=a.fix)
 
+    cascade = a.network == "3d_cascade_fullres"
     trainer = TPUTrainer(
         plans, fold, output_folder, dataset_directory=preproc_dir,
-        stage=stage, batch_dice=batch_dice, tconv=a.Tconv,
+        stage=stage, batch_dice=batch_dice, tconv=a.Tconv, cascade=cascade,
         max_num_epochs=a.epochs, num_batches_per_epoch=a.batches,
         num_val_batches_per_epoch=a.val_batches,
         fp16=not a.fp32, dsff_config=dsff_cfg, seed=a.seed,
@@ -113,6 +117,15 @@ def main(args=None):
         which = "best" if a.valbest else "final_checkpoint"
         trainer.load_checkpoint_file(which, train=False)
     trainer.validate()
+
+    if a.network == "3d_lowres" and not a.validation_only:
+        # cascade: predict this fold's validation cases at the fullres
+        # stage geometry (simple_main.py:213-215 / run_training.py)
+        from ..training.cascade import predict_next_stage
+        next_stage_folder = join(
+            preproc_dir, plans.data_identifier
+            + "_stage%d" % sorted(plans.plans_per_stage.keys())[-1])
+        predict_next_stage(trainer, next_stage_folder)
 
 
 if __name__ == "__main__":

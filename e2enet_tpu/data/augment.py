@@ -45,6 +45,9 @@ class AugmentParams:
     p_gamma: float = 0.3
     gamma_retain_stats: bool = True
     mask_was_used_for_normalization: Optional[Dict[int, bool]] = None
+    move_last_seg_channel_to_data: bool = False       # cascade
+    all_segmentation_labels: Optional[List[int]] = None
+    cascade_do_cascade_augmentations: bool = False
     border_val_seg: int = -1
     order_data: int = 3
     order_seg: int = 1
@@ -315,6 +318,19 @@ def augment_batch(batch: dict, params: AugmentParams,
     if params.mask_was_used_for_normalization is not None:
         data = apply_mask_norm_zeroing(data, seg,
                                        params.mask_was_used_for_normalization)
+
+    if params.move_last_seg_channel_to_data:
+        # cascade: prev-stage seg (seg channel 1) -> one-hot data channels
+        # (MoveSegAsOneHotToData, custom_transforms.py)
+        from ..training.cascade import (cascade_augment_onehot,
+                                        move_seg_as_onehot_to_data)
+        labels = params.all_segmentation_labels
+        data = move_seg_as_onehot_to_data(data, seg[:, -1], labels)
+        if params.cascade_do_cascade_augmentations and not validation:
+            data[:, -len(labels):] = cascade_augment_onehot(
+                data[:, -len(labels):], rng)
+        seg = seg[:, :1]
+
     seg = np.where(seg == -1, 0, seg)
     targets = downsample_targets(seg[:, 0].astype(np.int32),
                                  params.deep_supervision_scales)

@@ -18,10 +18,12 @@ from ..utils.files import load_pickle
 class PatchSampler3D:
     def __init__(self, dataset: Dict[str, dict], patch_size: Sequence[int],
                  final_patch_size: Sequence[int], batch_size: int,
+                 has_prev_stage: bool = False,
                  oversample_foreground_percent: float = 0.33,
                  memmap_mode: str = "r", pad_mode: str = "constant",
                  pad_sides=None, seed: Optional[int] = None):
         self._data = dataset
+        self.has_prev_stage = has_prev_stage
         self.patch_size = np.array(patch_size).astype(int)
         self.final_patch_size = np.array(final_patch_size).astype(int)
         self.batch_size = batch_size
@@ -40,8 +42,9 @@ class PatchSampler3D:
         k = self.list_of_keys[0]
         case_all_data = load_case(self._data[k], self.memmap_mode)
         num_color_channels = case_all_data.shape[0] - 1
+        num_seg = 2 if self.has_prev_stage else 1
         data_shape = (self.batch_size, num_color_channels, *self.patch_size)
-        seg_shape = (self.batch_size, 1, *self.patch_size)
+        seg_shape = (self.batch_size, num_seg, *self.patch_size)
         return data_shape, seg_shape
 
     def _properties(self, key):
@@ -65,6 +68,18 @@ class PatchSampler3D:
             properties = self._properties(i)
             case_properties.append(properties)
             case_all_data = load_case(self._data[i], self.memmap_mode)
+
+            seg_from_prev = None
+            if self.has_prev_stage:
+                # <case>_segFromPrevStage.npz next to the data file
+                # (cascade_stuff/predict_next_stage.py output)
+                pf = self._data[i]["data_file"][:-4] + "_segFromPrevStage.npz"
+                import os as _os
+                npy = pf[:-4] + ".npy"
+                if _os.path.isfile(npy):
+                    seg_from_prev = np.load(npy, mmap_mode=self.memmap_mode)
+                else:
+                    seg_from_prev = np.load(pf)["data"]
 
             need_to_pad = self.need_to_pad.copy()
             for d in range(3):
@@ -112,6 +127,12 @@ class PatchSampler3D:
             data[j] = np.pad(case_all_data[:-1], pad_spec, self.pad_mode)
             seg[j, 0] = np.pad(case_all_data[-1:], pad_spec, "constant",
                                constant_values=-1)[0]
+            if seg_from_prev is not None:
+                sp = seg_from_prev[valid_lbs[0]:valid_ubs[0],
+                                   valid_lbs[1]:valid_ubs[1],
+                                   valid_lbs[2]:valid_ubs[2]][None]
+                seg[j, 1] = np.pad(sp, pad_spec, "constant",
+                                   constant_values=0)[0]
 
         return {"data": data, "seg": seg, "properties": case_properties,
                 "keys": selected_keys}

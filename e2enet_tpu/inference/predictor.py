@@ -85,12 +85,16 @@ class ModelBundle:
             if sidecar is None and isfile(ckpt + ".pkl"):
                 sidecar = load_pickle(ckpt + ".pkl")
         assert sidecar is not None, "checkpoint sidecar pkl missing"
+        self.sidecar_init = sidecar["init"]
         self.plans = Plans.from_dict(sidecar["plans"])
         self.stage = sidecar["init"].get("stage", 0) or 0
         self.stage_plan = self.plans.plans_per_stage[self.stage]
         self.num_classes = self.plans.num_classes + 1
+        num_in = self.plans.num_modalities
+        if sidecar["init"].get("cascade", False):
+            num_in += self.num_classes - 1
         self.network = build_network(
-            self.stage_plan, self.plans.num_modalities, self.num_classes,
+            self.stage_plan, num_in, self.num_classes,
             tconv=tconv,
             base_num_features=sidecar["init"].get("base_num_features", 48),
             compute_dtype=compute_dtype)
@@ -102,6 +106,29 @@ class ModelBundle:
             self.plans.use_mask_for_norm,
             self.plans.transpose_forward,
             self.plans.intensity_properties)
+
+
+def sidecar_requires_cascade(bundle: "ModelBundle") -> bool:
+    return bool(bundle.sidecar_init.get("cascade", False))
+
+
+def append_prev_stage_onehot(data: np.ndarray, out_file: str,
+                             prev_stage_folder: str, transpose_forward,
+                             fg_labels):
+    """Load the lowres prediction for this case, bring it to the
+    preprocessed geometry (transpose + label-safe resize) and append one-hot
+    channels (reference predict.py cascade path)."""
+    from ..io.nifti import read_nifti
+    from ..preprocessing.resampling import resize_segmentation
+    case = os.path.basename(out_file)
+    prev_file = join(prev_stage_folder, case)
+    assert isfile(prev_file), f"missing lowres prediction {prev_file}"
+    seg = read_nifti(prev_file).array.astype(np.float32)
+    seg = seg.transpose([int(i) for i in transpose_forward])
+    if seg.shape != data.shape[1:]:
+        seg = resize_segmentation(seg, data.shape[1:], order=1)
+    onehot = np.stack([(seg == l).astype(np.float32) for l in fg_labels])
+    return np.concatenate([data, onehot], axis=0)
 
 
 def predict_case(bundle: ModelBundle, data: np.ndarray,
@@ -135,7 +162,17 @@ def predict_from_folder(model_folder: str, input_folder: str,
                         tconv: str = "shiftConvPP",
                         part_id: int = 0, num_parts: int = 1,
                         overwrite_existing: bool = True,
-                        disable_postprocessing: bool = False):
+                        disable_postprocessing: bool = False,
+                        mode: str = "normal",
+                        segs_from_prev_stage_folder: Optional[str] = None):
+    """mode (reference predict_cases/_fast/_fastest, predict.py:194,362,514):
+      normal : resample the full softmax back to original geometry (order 1)
+      fast   : argmax at network resolution, resample the label map only
+      fastest: like fast, and TTA disabled
+    """
+    assert mode in ("normal", "fast", "fastest")
+    if mode == "fastest":
+        do_tta = False
     maybe_mkdir_p(output_folder)
     bundle = ModelBundle(model_folder, folds, tconv, checkpoint_name)
     expected_num_modalities = bundle.plans.num_modalities
@@ -157,6 +194,12 @@ def predict_from_folder(model_folder: str, input_folder: str,
         output_files = [output_files[i] for i in keep]
         case_ids = [case_ids[i] for i in keep]
 
+    cascade = bool(sidecar_requires_cascade(bundle))
+    if cascade:
+        assert segs_from_prev_stage_folder is not None, (
+            "this is a cascade model: pass the lowres predictions via "
+            "segs_from_prev_stage_folder (predict with -m 3d_cascade_fullres "
+            "to run the lowres stage automatically)")
     preprocessor = bundle.make_preprocessor()
     target_spacing = bundle.stage_plan.current_spacing
 
@@ -168,6 +211,11 @@ def predict_from_folder(model_folder: str, input_folder: str,
         for files, ofile in zip(list_of_lists, output_files):
             d, s, props = preprocessor.preprocess_test_case(files,
                                                             target_spacing)
+            if cascade:
+                d = append_prev_stage_onehot(
+                    d, ofile, segs_from_prev_stage_folder,
+                    bundle.plans.transpose_forward,
+                    list(range(1, bundle.num_classes)))
             q.put((d, props, ofile))
         q.put(None)
 
@@ -196,7 +244,11 @@ def predict_from_folder(model_folder: str, input_folder: str,
         softmax = softmax.transpose(
             [0] + [int(i) + 1 for i in transpose_backward])
         npz_file = ofile[:-7] + ".npz" if save_npz else None
-        if postprocess is not None:
+        if mode in ("fast", "fastest"):
+            from .export import save_segmentation_nifti
+            seg = softmax.argmax(0).astype(np.uint8)
+            save_segmentation_nifti(seg, ofile, props, 1)
+        elif postprocess is not None:
             save_segmentation_nifti_from_softmax(
                 softmax, ofile, props, 1, None, postprocess["fn"],
                 postprocess["args"], npz_file)

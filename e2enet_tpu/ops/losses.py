@@ -114,6 +114,115 @@ def deep_supervision_loss(outputs: Sequence[jnp.ndarray],
     return total
 
 
+def generalized_dice_loss(logits: jnp.ndarray, target: jnp.ndarray,
+                          batch_dice: bool = False, do_bg: bool = True,
+                          smooth: float = 1.0,
+                          square_volumes: bool = False) -> jnp.ndarray:
+    """GDL (dice_loss.py:25-97): per-class tp/fp/fn weighted by 1/volume,
+    summed over classes before the Dice ratio."""
+    probs = softmax_helper(logits.astype(jnp.float32))
+    num_classes = probs.shape[-1]
+    y = one_hot(target, num_classes)
+    if not do_bg:
+        probs = probs[..., 1:]
+        y = y[..., 1:]
+    axes = tuple(range(0 if batch_dice else 1, probs.ndim - 1))
+    tp = jnp.sum(probs * y, axis=axes)
+    fp = jnp.sum(probs * (1.0 - y), axis=axes)
+    fn = jnp.sum((1.0 - probs) * y, axis=axes)
+    volumes = jnp.sum(y, axis=axes) + 1e-6
+    if square_volumes:
+        volumes = volumes ** 2
+    tp, fp, fn = tp / volumes, fp / volumes, fn / volumes
+    axis = 0 if batch_dice else 1
+    tp = jnp.sum(tp, axis=axis)
+    fp = jnp.sum(fp, axis=axis)
+    fn = jnp.sum(fn, axis=axis)
+    dc = (2 * tp + smooth) / (2 * tp + fp + fn + smooth)
+    return -jnp.mean(dc)
+
+
+def soft_dice_loss_squared(logits: jnp.ndarray, target: jnp.ndarray,
+                           batch_dice: bool = False, do_bg: bool = True,
+                           smooth: float = 1.0) -> jnp.ndarray:
+    """SoftDiceLossSquared (dice_loss.py:235-289): denominator uses
+    probs^2 + onehot^2."""
+    probs = softmax_helper(logits.astype(jnp.float32))
+    num_classes = probs.shape[-1]
+    y = one_hot(target, num_classes)
+    axes = tuple(range(0 if batch_dice else 1, probs.ndim - 1))
+    intersect = jnp.sum(probs * y, axis=axes) + smooth
+    denominator = jnp.sum(probs ** 2 + y ** 2, axis=axes) + smooth
+    dc = 2 * intersect / denominator
+    if not do_bg:
+        dc = dc[1:] if batch_dice else dc[:, 1:]
+    return -jnp.mean(dc)
+
+
+def dc_and_bce_loss(logits: jnp.ndarray, target_onehot: jnp.ndarray,
+                    batch_dice: bool = False, smooth: float = 1.0) -> jnp.ndarray:
+    """DC_and_BCE_loss (dice_loss.py:362-388): sigmoid multi-label loss for
+    region-based training (BraTS regions). target_onehot: (..., C) 0/1."""
+    logits = logits.astype(jnp.float32)
+    t = target_onehot.astype(jnp.float32)
+    bce = jnp.mean(jnp.maximum(logits, 0) - logits * t
+                   + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    probs = jax.nn.sigmoid(logits)
+    axes = tuple(range(0 if batch_dice else 1, probs.ndim - 1))
+    tp = jnp.sum(probs * t, axis=axes)
+    fp = jnp.sum(probs * (1 - t), axis=axes)
+    fn = jnp.sum((1 - probs) * t, axis=axes)
+    dc = (2 * tp + smooth) / (2 * tp + fp + fn + smooth + 1e-8)
+    return bce - jnp.mean(dc)
+
+
+def gdl_and_ce_loss(logits, target, **gdl_kwargs):
+    """GDL_and_CE_loss (dice_loss.py:391-405)."""
+    return (generalized_dice_loss(logits, target, **gdl_kwargs)
+            + robust_cross_entropy(logits, target))
+
+
+def dc_and_topk_loss(logits, target, batch_dice: bool = True,
+                     k_percent: float = 10.0, smooth: float = 1e-5):
+    """DC_and_topk_loss (dice_loss.py:408-430)."""
+    return (soft_dice_loss(logits, target, batch_dice=batch_dice,
+                           do_bg=False, smooth=smooth)
+            + topk_cross_entropy(logits, target, k_percent))
+
+
+def focal_loss(logits: jnp.ndarray, target: jnp.ndarray,
+               gamma: float = 2.0, alpha: float = 0.25,
+               smooth: float = 1e-5) -> jnp.ndarray:
+    """FocalLoss (focal_loss.py:23-108): per-voxel CE scaled by
+    alpha * (1 - p_t)^gamma, with label smoothing of the one-hot target."""
+    logits = logits.astype(jnp.float32)
+    num_classes = logits.shape[-1]
+    probs = softmax_helper(logits).reshape(-1, num_classes)
+    t = target.reshape(-1).astype(jnp.int32)
+    pt = jnp.take_along_axis(probs, t[:, None], axis=-1)[:, 0]
+    if smooth:
+        pt = jnp.clip(pt, smooth, 1.0 - smooth)
+    logpt = jnp.log(pt)
+    # scalar alpha balances class 0 vs rest (reference balance_index=0)
+    alpha_t = jnp.where(t == 0, alpha, 1.0 - alpha)
+    loss = -alpha_t * jnp.power(1.0 - pt, gamma) * logpt
+    return jnp.mean(loss)
+
+
+LOSS_REGISTRY = {
+    "dc_ce": dc_and_ce_loss,
+    "dice": soft_dice_loss,
+    "dice_squared": soft_dice_loss_squared,
+    "gdl": generalized_dice_loss,
+    "gdl_ce": gdl_and_ce_loss,
+    "dc_topk": dc_and_topk_loss,
+    "topk": topk_cross_entropy,
+    "ce": robust_cross_entropy,
+    "focal": focal_loss,
+    "dc_bce": dc_and_bce_loss,
+}
+
+
 def hard_tp_fp_fn(logits: jnp.ndarray, target: jnp.ndarray):
     """Per-class hard counts for the online foreground-Dice estimate
     (nnUNetTrainer_simple.run_online_evaluation :373-405). Returns (C-1,)

@@ -186,6 +186,116 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
     return run
 
 
+def make_tiled_predictor_sharded(apply_fn: Callable,
+                                 patch_size: Tuple[int, ...],
+                                 num_classes: int, mesh,
+                                 axis: str = "data",
+                                 mirror_axes: Tuple[int, ...] = (0, 1, 2),
+                                 do_mirroring: bool = True,
+                                 accum_dtype=jnp.float32,
+                                 tta_batch: int = 1):
+    """Multi-chip sliding window: the tile list is sharded over the mesh
+    axis; every device scans its tiles into a local accumulator over the
+    (replicated) volume and the accumulators are psum'd — the whole
+    volume prediction is still ONE XLA program, now spanning the mesh.
+    This is the scale-out lever the reference lacks (it shards whole CASES
+    across GPUs via separate processes, predict.py:745).
+
+    starts must be padded to a multiple of the axis size (dummy tiles have
+    weight 0 via n_valid). Device d processes tiles [d::n_dev] so real tiles
+    spread evenly across devices.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    local = make_tiled_predictor(apply_fn, patch_size, num_classes,
+                                 mirror_axes, do_mirroring, accum_dtype,
+                                 tta_batch)
+
+    # reuse the single-device run's inner logic through shard_map
+    def shard_fn(params, volume, starts, n_valid, tile_ids):
+        acc, wacc = _tiled_accumulate(
+            apply_fn, patch_size, num_classes, mirror_axes, do_mirroring,
+            accum_dtype, tta_batch, params, volume, starts, n_valid,
+            tile_ids)
+        acc = jax.lax.psum(acc, axis)
+        wacc = jax.lax.psum(wacc, axis)
+        return acc, wacc
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    def run(params, volume, starts, n_valid):
+        T = starts.shape[0]
+        n_dev = mesh.shape[axis]
+        assert T % n_dev == 0, "pad the tile list to a multiple of the mesh"
+        # strided assignment so valid tiles spread across devices
+        order = np.arange(T).reshape(-1, n_dev).T.reshape(-1)
+        starts_interleaved = jnp.asarray(np.asarray(starts)[order])
+        tile_ids = jnp.asarray(order.astype(np.int32))
+        return mapped(params, volume, starts_interleaved, n_valid, tile_ids)
+
+    return run
+
+
+def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
+                      do_mirroring, accum_dtype, tta_batch, params, volume,
+                      starts, n_valid, tile_ids):
+    """Scan a (sub)list of tiles into local accumulators. tile_ids carries
+    each tile's GLOBAL index so validity (id < n_valid) is preserved under
+    sharding."""
+    pd, ph, pw = patch_size
+    combos = flip_combinations(mirror_axes) if do_mirroring else [()]
+    n_tta = len(combos)
+    gmap = jnp.asarray(gaussian_importance_map(tuple(patch_size)))
+    tta_batch = max(1, min(tta_batch, n_tta))
+    flip_flags = np.array([[a in c for a in (0, 1, 2)] for c in combos],
+                          bool).reshape(-1, tta_batch, 3)
+
+    def apply_flips(x, flags):
+        for ax in range(3):
+            x = jnp.where(flags[ax], jnp.flip(x, axis=ax), x)
+        return x
+
+    X, Y, Z, C = volume.shape
+    acc = jnp.zeros((X, Y, Z, num_classes), accum_dtype)
+    wacc = jnp.zeros((X, Y, Z), accum_dtype)
+    flags_chunks = jnp.asarray(flip_flags)
+
+    def body(carry, inp):
+        acc, wacc = carry
+        start, tid = inp
+        x0, y0, z0 = start[0], start[1], start[2]
+        patch = jax.lax.dynamic_slice(volume, (x0, y0, z0, 0),
+                                      (pd, ph, pw, C))
+
+        def tta_chunk(prob_sum, flags):
+            batch = jax.vmap(lambda f: apply_flips(patch, f))(flags)
+            logits = apply_fn(params, batch)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            unflipped = jax.vmap(apply_flips)(probs, flags)
+            return prob_sum + jnp.sum(unflipped, axis=0), None
+
+        prob_sum = jnp.zeros((pd, ph, pw, num_classes), jnp.float32)
+        prob_sum, _ = jax.lax.scan(tta_chunk, prob_sum, flags_chunks)
+        mean_probs = prob_sum / n_tta
+
+        valid = (tid < n_valid).astype(accum_dtype)
+        w = gmap * valid
+        contrib = (mean_probs * w[..., None]).astype(accum_dtype)
+        sl = jax.lax.dynamic_slice(acc, (x0, y0, z0, 0),
+                                   (pd, ph, pw, num_classes))
+        acc = jax.lax.dynamic_update_slice(acc, sl + contrib,
+                                           (x0, y0, z0, 0))
+        wsl = jax.lax.dynamic_slice(wacc, (x0, y0, z0), (pd, ph, pw))
+        wacc = jax.lax.dynamic_update_slice(wacc, wsl + w, (x0, y0, z0))
+        return (acc, wacc), None
+
+    (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), (starts, tile_ids))
+    return acc, wacc
+
+
 def predict_volume_tiled(apply_fn, params, data: np.ndarray,
                          patch_size: Sequence[int], num_classes: int,
                          step_size: float = 0.5,

@@ -102,7 +102,8 @@ def init_masks(params: dict, density: float, rng: jax.Array,
 
 def apply_masks(params: dict, masks: Dict[Tuple[str, ...], jnp.ndarray]) -> dict:
     """w * mask on every masked kernel (apply_mask, core_channel.py:427-434).
-    Mask (in,out) broadcasts over the spatial dims."""
+    Kernel-granular masks (in, out) broadcast over the spatial dims;
+    element-granular masks (core.py engine) are full weight shaped."""
     if not masks:
         return params
 
@@ -113,10 +114,92 @@ def apply_masks(params: dict, masks: Dict[Tuple[str, ...], jnp.ndarray]) -> dict
         keys = tuple(k.key if hasattr(k, "key") else str(k) for k in path)
         if keys in masks:
             m = masks[keys].astype(leaf.dtype)
-            shape = (1,) * (leaf.ndim - 2) + m.shape
-            leaf = leaf * m.reshape(shape)
+            if m.shape != leaf.shape:
+                m = m.reshape((1,) * (leaf.ndim - 2) + m.shape)
+            leaf = leaf * m
         new_leaves.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def init_masks_element(params: dict, density: float, rng: jax.Array,
+                       mode: str = "uniform_ori",
+                       grads: Optional[dict] = None,
+                       erk_power_scale: float = 1.0):
+    """Element-granular mask init — the original ITOP engine
+    (sparselearning/core.py):
+      uniform_ori: iid Bernoulli(density) over every weight (core.py
+                   'uniform' :...);
+      ERK: per-layer density proportional to (sum(dims)/numel)^scale,
+           normalized so the global density matches (core.py ERK init);
+      snip: keep the globally top-density |g * w| saliencies (snip.py:19).
+    Returns {path: full-shape float mask}."""
+    masked = select_masked(params)
+    masks = {}
+    if mode == "uniform_ori":
+        for path, w in sorted(masked.items()):
+            rng, sub = jax.random.split(rng)
+            masks[path] = (jax.random.uniform(sub, w.shape)
+                           < density).astype(jnp.float32)
+        return masks
+    if mode == "ERK":
+        # raw ERK score per layer: (sum of dims) / numel
+        raw = {}
+        total = 0
+        for path, w in masked.items():
+            raw[path] = (float(np.sum(w.shape)) / float(np.prod(w.shape))) \
+                ** erk_power_scale
+            total += np.prod(w.shape)
+        # scale epsilon so sum(density_l * numel_l) == density * total
+        denom = sum(raw[p] * np.prod(masked[p].shape) for p in masked)
+        eps = density * total / denom
+        for path, w in sorted(masked.items()):
+            d = float(np.clip(eps * raw[path], 0.0, 1.0))
+            rng, sub = jax.random.split(rng)
+            masks[path] = (jax.random.uniform(sub, w.shape)
+                           < d).astype(jnp.float32)
+        return masks
+    if mode == "snip":
+        assert grads is not None, "snip init requires gradients"
+        gm = select_masked(grads)
+        scores = {p: jnp.abs(masked[p].astype(jnp.float32)
+                             * gm[p].astype(jnp.float32)) for p in masked}
+        flat = jnp.concatenate([s.reshape(-1) for _, s in sorted(
+            scores.items())])
+        keep = max(1, int(flat.size * density))
+        thr = jnp.sort(flat)[::-1][keep - 1]
+        for path in sorted(masked.keys()):
+            masks[path] = (scores[path] >= thr).astype(jnp.float32)
+        return masks
+    raise KeyError(f"unknown element init mode '{mode}'")
+
+
+def _layer_death_growth_element(w, grad, mask, rng, death_rate,
+                                growth_mode: str):
+    """Element-granular death/growth (core.py magnitude_death :...,
+    random_growth / gradient_growth)."""
+    n = mask.size
+    absw = jnp.abs(w.astype(jnp.float32)) * mask
+    nonzeros = jnp.sum(mask)
+    zeros = n - nonzeros
+    num_remove = jnp.ceil(death_rate * nonzeros).astype(jnp.int32)
+    sorted_w = jnp.sort(absw.reshape(-1))
+    kill_idx = jnp.clip(zeros.astype(jnp.int32) + num_remove - 1, 0, n - 1)
+    thr = sorted_w[kill_idx]
+    survived = (absw > thr).astype(jnp.float32) * mask
+    num_death = (jnp.sum(mask) - jnp.sum(survived)).astype(jnp.int32)
+
+    dead = 1.0 - survived
+    if growth_mode == "gradient":
+        score = jnp.abs(grad.astype(jnp.float32)) * dead
+    else:
+        score = jax.random.uniform(rng, mask.shape) * dead
+    score = jnp.where(dead > 0, score, -jnp.inf)
+    sorted_desc = jnp.sort(score.reshape(-1))[::-1]
+    gthr = sorted_desc[jnp.clip(num_death - 1, 0, n - 1)]
+    grow = jnp.where(num_death > 0,
+                     ((score >= gthr) & (dead > 0)).astype(jnp.float32),
+                     jnp.zeros_like(dead))
+    return jnp.clip(survived + grow, 0.0, 1.0), num_death
 
 
 def cosine_death_rate(step: jnp.ndarray, death_rate: float, t_max: int,
@@ -181,7 +264,8 @@ def death_growth_update(params: dict, grads: Optional[dict],
                         rng: jax.Array, death_rate: jnp.ndarray,
                         growth_mode: str = "random"):
     """truncate_weights (core_channel.py:555-600 path): per masked layer,
-    kernel death then growth. Returns (new_masks, stats)."""
+    kernel (or element) death then growth. The granularity is inferred per
+    layer from the mask shape. Returns (new_masks, stats)."""
     masked = select_masked(params)
     gmasked = select_masked(grads) if grads is not None else {
         k: jnp.zeros_like(v) for k, v in masked.items()}
@@ -189,9 +273,11 @@ def death_growth_update(params: dict, grads: Optional[dict],
     deaths = []
     for path in sorted(masks.keys()):
         rng, sub = jax.random.split(rng)
-        nm, nd = _layer_death_growth(masked[path], gmasked[path],
-                                     masks[path], sub, death_rate,
-                                     growth_mode)
+        fn = (_layer_death_growth
+              if masks[path].shape != masked[path].shape
+              else _layer_death_growth_element)
+        nm, nd = fn(masked[path], gmasked[path], masks[path], sub,
+                    death_rate, growth_mode)
         new_masks[path] = nm
         deaths.append(nd)
     total_death = jnp.sum(jnp.stack(deaths)) if deaths else jnp.int32(0)
@@ -205,7 +291,8 @@ def masks_density(masks: Dict[Tuple[str, ...], jnp.ndarray],
     nz = 0.0
     tot = 0.0
     for path, m in masks.items():
-        k_size = _kernel_numel(masked[path].shape)
+        k_size = (1 if m.shape == masked[path].shape
+                  else _kernel_numel(masked[path].shape))
         nz = nz + jnp.sum(m) * k_size
         tot = tot + m.size * k_size
     return nz / tot

@@ -52,7 +52,7 @@ class TPUTrainer:
                  num_val_batches_per_epoch: int = 50, unpack_data: bool = True,
                  fp16: bool = True, dsff_config: Optional[dsff.DSFFConfig] = None,
                  seed: int = 0, num_da_threads: int = 1,
-                 base_num_features: int = 48):
+                 base_num_features: int = 48, cascade: bool = False):
         self.plans = plans
         self.fold = fold
         self.stage = stage
@@ -67,6 +67,7 @@ class TPUTrainer:
         self.seed = seed
         self.num_da_threads = num_da_threads
         self.base_num_features = base_num_features
+        self.cascade = cascade
 
         self.output_folder_base = output_folder
         self.output_folder = join(output_folder, f"fold_{fold}")
@@ -102,8 +103,12 @@ class TPUTrainer:
         if self.was_initialized:
             return
         import jax.numpy as jnp
+        num_in = self.num_modalities
+        if self.cascade:
+            # prev-stage seg arrives as one-hot fg-class channels
+            num_in += self.num_classes - 1
         self.network = build_network(
-            self.stage_plan, self.num_modalities, self.num_classes,
+            self.stage_plan, num_in, self.num_classes,
             tconv=self.tconv, base_num_features=self.base_num_features,
             compute_dtype=jnp.bfloat16 if self.fp16 else jnp.float32)
         self.num_pool = len(self.stage_plan.pool_op_kernel_sizes)
@@ -114,8 +119,8 @@ class TPUTrainer:
 
         self.setup_da_params()
 
-        x0 = jnp.zeros((1, *[int(i) for i in self.patch_size],
-                        self.num_modalities), jnp.float32)
+        x0 = jnp.zeros((1, *[int(i) for i in self.patch_size], num_in),
+                       jnp.float32)
         params = jax.jit(self.network.init)(
             jax.random.PRNGKey(self.seed), x0)["params"]
 
@@ -164,6 +169,10 @@ class TPUTrainer:
             rotation_x=rot if not do_dummy_2d else rot,
             do_dummy_2D=do_dummy_2d,
             mask_was_used_for_normalization=self.plans.use_mask_for_norm,
+            move_last_seg_channel_to_data=self.cascade,
+            all_segmentation_labels=(list(range(1, self.num_classes))
+                                     if self.cascade else None),
+            cascade_do_cascade_augmentations=self.cascade,
             deep_supervision_scales=self.ds_scales)
 
     def _setup_generators(self):
@@ -180,13 +189,23 @@ class TPUTrainer:
         self.logger.log(f"fold {self.fold}: {len(tr_keys)} train / "
                         f"{len(val_keys)} val cases")
 
+        if self.cascade:
+            missing = [k for k in dataset
+                       if not isfile(dataset[k]["data_file"][:-4]
+                                     + "_segFromPrevStage.npz")]
+            assert len(missing) == 0, (
+                "cascade requires segFromPrevStage files for all cases; run "
+                "predict_next_stage for every 3d_lowres fold first. Missing: "
+                f"{missing[:5]}...")
         sampler_tr = PatchSampler3D(
             self.dataset_tr, self.basic_generator_patch_size,
-            self.patch_size, self.batch_size,
-            self.oversample_foreground_percent, seed=self.seed)
+            self.patch_size, self.batch_size, has_prev_stage=self.cascade,
+            oversample_foreground_percent=self.oversample_foreground_percent,
+            seed=self.seed)
         sampler_val = PatchSampler3D(
             self.dataset_val, self.patch_size, self.patch_size,
-            self.batch_size, self.oversample_foreground_percent,
+            self.batch_size, has_prev_stage=self.cascade,
+            oversample_foreground_percent=self.oversample_foreground_percent,
             seed=self.seed + 100)
         self.tr_gen = BatchPipeline(sampler_tr, self.da_params,
                                     validation=False,
@@ -315,7 +334,8 @@ class TPUTrainer:
         sidecar = {
             "init": {"fold": self.fold, "stage": self.stage,
                      "tconv": self.tconv, "batch_dice": self.batch_dice,
-                     "base_num_features": self.base_num_features},
+                     "base_num_features": self.base_num_features,
+                     "cascade": self.cascade},
             "name": self.__class__.__name__,
             "class": f"{self.__class__.__module__}."
                      f"{self.__class__.__name__}",
@@ -410,6 +430,13 @@ class TPUTrainer:
             from ..data.dataset import load_case
             case_all = np.asarray(load_case(self.dataset_val[k]))
             data = case_all[:-1]
+            if self.cascade:
+                from ..training.cascade import move_seg_as_onehot_to_data
+                prev = np.load(self.dataset_val[k]["data_file"][:-4]
+                               + "_segFromPrevStage.npz")["data"]
+                data = move_seg_as_onehot_to_data(
+                    data[None], prev[None],
+                    list(range(1, self.num_classes)))[0]
             softmax = predict_volume_tiled(
                 apply_fn, params, data, patch, self.num_classes,
                 step_size=step_size, do_mirroring=do_mirroring,

@@ -1,0 +1,206 @@
+"""Unit tests for breadth components: loss zoo, Ranger, element-granular
+sparse engine, cascade plumbing, dataset conversion, region evaluation,
+NIfTI geometry round-trip, plans round-trip."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from e2enet_tpu.io.nifti import NiftiImage, read_nifti, write_nifti
+
+
+def test_nifti_geometry_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(5, 6, 7) * 100).astype(np.float32)
+    img = NiftiImage(arr, spacing=(0.7, 1.1, 2.5), origin=(-12.5, 3.25, 9.0),
+                     direction=(1, 0, 0, 0, 0, -1, 0, 1, 0))
+    f = str(tmp_path / "x.nii.gz")
+    write_nifti(f, img)
+    back = read_nifti(f)
+    np.testing.assert_allclose(back.array, arr, rtol=1e-6)
+    np.testing.assert_allclose(back.spacing, img.spacing, rtol=1e-5)
+    np.testing.assert_allclose(back.origin, img.origin, atol=1e-4)
+    np.testing.assert_allclose(back.direction, img.direction, atol=1e-5)
+
+
+def test_loss_zoo_finiteness():
+    from e2enet_tpu.ops import losses
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, 4, 6, 6, 3).astype(np.float32))
+    target = jnp.asarray(rng.randint(0, 3, (2, 4, 6, 6)).astype(np.int32))
+    for name in ("dc_ce", "dice", "dice_squared", "gdl", "gdl_ce",
+                 "dc_topk", "topk", "ce", "focal"):
+        val = float(losses.LOSS_REGISTRY[name](logits, target))
+        assert np.isfinite(val), name
+    onehot = jax.nn.one_hot(target, 3)
+    assert np.isfinite(float(losses.dc_and_bce_loss(logits, onehot)))
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference not mounted")
+def test_gdl_matches_reference():
+    from conftest import stub_reference_deps
+    stub_reference_deps()
+    torch = pytest.importorskip("torch")
+    from e2enet.training.loss_functions.dice_loss import GDL
+    from e2enet_tpu.ops.losses import generalized_dice_loss
+    rng = np.random.RandomState(1)
+    logits = rng.randn(2, 4, 6, 6, 3).astype(np.float32)
+    target = rng.randint(0, 3, (2, 4, 6, 6))
+    ref = GDL(apply_nonlin=lambda x: torch.softmax(x, 1), batch_dice=True,
+              do_bg=False, smooth=1.0)
+    theirs = float(ref(torch.from_numpy(np.moveaxis(logits, -1, 1)),
+                       torch.from_numpy(target[:, None]).float()))
+    ours = float(generalized_dice_loss(jnp.asarray(logits),
+                                       jnp.asarray(target), batch_dice=True,
+                                       do_bg=False, smooth=1.0))
+    assert ours == pytest.approx(theirs, rel=1e-4)
+
+
+def test_ranger_step_decreases_quadratic():
+    from e2enet_tpu.training.ranger import ranger_init, ranger_update
+    params = {"w": jnp.asarray(np.ones(8, np.float32) * 3.0)}
+    state = ranger_init(params)
+    for _ in range(50):
+        grads = {"w": 2 * params["w"]}   # d/dw w^2
+        params, state = ranger_update(params, state, grads, lr=1e-1)
+    assert float(jnp.sum(params["w"] ** 2)) < 8 * 9.0
+
+
+def test_element_masks_and_snip():
+    from e2enet_tpu.models.unetpp import ShiftUNetPlusPlus
+    from e2enet_tpu.training import dsff
+    m = ShiftUNetPlusPlus(input_channels=1, num_classes=2,
+                          pool_op_kernel_sizes=((2, 2, 2), (2, 2, 2)),
+                          base_num_features=8, max_num_features=16,
+                          compute_dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 8, 8, 8, 1)))["params"]
+    masked = dsff.select_masked(params)
+
+    em = dsff.init_masks_element(params, 0.3, jax.random.PRNGKey(1),
+                                 "uniform_ori")
+    dens = float(dsff.masks_density(em, params))
+    assert 0.2 < dens < 0.4
+    for p, msk in em.items():
+        assert msk.shape == masked[p].shape
+
+    erk = dsff.init_masks_element(params, 0.3, jax.random.PRNGKey(2), "ERK")
+    dens = float(dsff.masks_density(erk, params))
+    assert 0.15 < dens < 0.5
+
+    grads = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.random.RandomState(3).randn(*x.shape)
+                              .astype(np.float32)), params)
+    snip = dsff.init_masks_element(params, 0.2, jax.random.PRNGKey(3),
+                                   "snip", grads=grads)
+    dens = float(dsff.masks_density(snip, params))
+    assert dens == pytest.approx(0.2, abs=0.02)
+
+    # element death/growth keeps count
+    mp = dsff.apply_masks(params, em)
+    new_masks, _ = dsff.death_growth_update(mp, None, em,
+                                            jax.random.PRNGKey(4),
+                                            jnp.float32(0.5))
+    for p in em:
+        assert int(new_masks[p].sum()) == int(em[p].sum())
+
+
+def test_cascade_onehot_and_augment():
+    from e2enet_tpu.training.cascade import (cascade_augment_onehot,
+                                             move_seg_as_onehot_to_data)
+    rng = np.random.RandomState(0)
+    data = rng.randn(2, 1, 8, 8, 8).astype(np.float32)
+    seg_prev = rng.randint(0, 3, (2, 8, 8, 8))
+    out = move_seg_as_onehot_to_data(data, seg_prev, [1, 2])
+    assert out.shape == (2, 3, 8, 8, 8)
+    np.testing.assert_array_equal(out[:, 1], (seg_prev == 1))
+    np.testing.assert_array_equal(out[:, 2], (seg_prev == 2))
+    oh = out[:, 1:].copy()
+    cascade_augment_onehot(oh, rng, p_binary_op=1.0, p_remove_component=1.0)
+    assert set(np.unique(oh)).issubset({0.0, 1.0})
+
+
+def test_generate_dataset_json_and_split4d(tmp_path):
+    from e2enet_tpu.dataset_conversion.utils import (generate_dataset_json,
+                                                     split_4d_nifti)
+    imagesTr = tmp_path / "imagesTr"
+    labelsTr = tmp_path / "labelsTr"
+    imagesTr.mkdir()
+    labelsTr.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        write_nifti(str(imagesTr / f"case_{i:03d}_0000.nii.gz"),
+                    NiftiImage(rng.rand(4, 5, 6).astype(np.float32),
+                               (1, 1, 1)))
+    d = generate_dataset_json(str(tmp_path / "dataset.json"), str(imagesTr),
+                              None, ("CT",), {0: "background", 1: "organ"},
+                              "TestTask")
+    assert d["numTraining"] == 2
+    assert d["modality"]["0"] == "CT"
+
+    # 3D file split = copy with _0000 suffix
+    src = tmp_path / "raw.nii.gz"
+    write_nifti(str(src), NiftiImage(rng.rand(4, 5, 6).astype(np.float32),
+                                     (1, 1, 1)))
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    split_4d_nifti(str(src), str(outdir))
+    assert (outdir / "raw_0000.nii.gz").exists()
+
+
+def test_region_based_evaluation(tmp_path):
+    from e2enet_tpu.evaluation.region_based_evaluation import (
+        evaluate_regions, get_brats_regions)
+    gt_dir = tmp_path / "gt"
+    pred_dir = tmp_path / "pred"
+    gt_dir.mkdir()
+    pred_dir.mkdir()
+    rng = np.random.RandomState(0)
+    seg = rng.randint(0, 4, (8, 8, 8)).astype(np.uint8)
+    write_nifti(str(gt_dir / "c1.nii.gz"), NiftiImage(seg, (1, 1, 1)))
+    write_nifti(str(pred_dir / "c1.nii.gz"), NiftiImage(seg, (1, 1, 1)))
+    res = evaluate_regions(str(pred_dir), str(gt_dir), get_brats_regions())
+    for r, vals in res.items():
+        assert vals[0] == pytest.approx(1.0)
+    assert (pred_dir / "summary.csv").exists()
+
+
+def test_plans_roundtrip(tmp_path):
+    from e2enet_tpu.plans import Plans, StagePlan
+    sp = StagePlan(batch_size=2, num_pool_per_axis=[3, 3, 3],
+                   patch_size=[64, 64, 64],
+                   median_patient_size_in_voxels=[100, 100, 100],
+                   current_spacing=[1, 1, 1], original_spacing=[1, 1, 1],
+                   do_dummy_2D_data_aug=False,
+                   pool_op_kernel_sizes=[[2, 2, 2]] * 3,
+                   conv_kernel_sizes=[[3, 3, 3]] * 4)
+    p = Plans(num_stages=1, num_modalities=1, modalities={0: "CT"},
+              normalization_schemes={0: "CT"}, dataset_properties={},
+              list_of_npz_files=[], original_spacings=[],
+              original_sizes=[], preprocessed_data_folder=None,
+              num_classes=2, all_classes=[1, 2], base_num_features=32,
+              use_mask_for_norm={0: False}, keep_only_largest_region=None,
+              min_region_size_per_class=None, min_size_per_class=None,
+              transpose_forward=[0, 1, 2], transpose_backward=[0, 1, 2],
+              data_identifier="test", plans_per_stage={0: sp})
+    f = str(tmp_path / "plans.json")
+    p.save(f)
+    q = Plans.load(f)
+    assert q.num_classes == 2
+    assert q.plans_per_stage[0].patch_size == [64, 64, 64]
+    assert q.normalization_schemes[0] == "CT"
+
+
+def test_pretrained_transfer():
+    from e2enet_tpu.training.pretrained import transfer_matching_params
+    src = {"context0": {"block0": {"kernel": jnp.ones((3, 3, 1, 8))}},
+           "loc0_0": {"block0": {"kernel": jnp.ones((3, 3, 8, 8))}}}
+    tgt = {"context0": {"block0": {"kernel": jnp.zeros((3, 3, 1, 8))}},
+           "loc0_0": {"block0": {"kernel": jnp.zeros((3, 3, 8, 8))}}}
+    new, n = transfer_matching_params(tgt, src, "context", verbose=False)
+    assert n == 1
+    assert float(new["context0"]["block0"]["kernel"].sum()) == 3 * 3 * 8
+    assert float(new["loc0_0"]["block0"]["kernel"].sum()) == 0

@@ -30,3 +30,44 @@ def test_entry_compiles():
     fn, (params, x) = entry()
     out_shape = jax.eval_shape(jax.jit(fn), params, x)
     assert out_shape.shape == (1, 8, 64, 64, 3)
+
+
+def test_sharded_sliding_window_matches_single_device():
+    """Tile-sharded multi-chip predictor must produce the same accumulators
+    as the single-device program."""
+    import numpy as np
+    import jax.numpy as jnp
+    from e2enet_tpu.ops.sliding import (bucket_num_tiles,
+                                        compute_steps_for_sliding_window,
+                                        make_tiled_predictor,
+                                        make_tiled_predictor_sharded)
+    from e2enet_tpu.parallel.mesh import make_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(jax.devices()[:8])
+
+    def apply_fn(params, x):
+        v = x[..., :1]
+        return jnp.concatenate([v, -v, 0.3 * v], axis=-1)
+
+    rng = np.random.RandomState(0)
+    vol = rng.randn(20, 24, 20, 1).astype(np.float32)
+    patch = (16, 16, 16)
+    steps = compute_steps_for_sliding_window(patch, vol.shape[:3], 0.5)
+    starts = np.array([(a, b, c) for a in steps[0] for b in steps[1]
+                       for c in steps[2]], np.int32)
+    T = len(starts)
+    Tb = max(bucket_num_tiles(T), 8)
+    sp = np.zeros((Tb, 3), np.int32)
+    sp[:T] = starts
+
+    single = make_tiled_predictor(apply_fn, patch, 3)
+    acc1, w1 = single({}, jnp.asarray(vol), jnp.asarray(sp), jnp.int32(T))
+
+    sharded = make_tiled_predictor_sharded(apply_fn, patch, 3, mesh)
+    acc2, w2 = sharded({}, jnp.asarray(vol), jnp.asarray(sp), jnp.int32(T))
+
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc1), np.asarray(acc2),
+                               rtol=1e-4, atol=1e-6)
