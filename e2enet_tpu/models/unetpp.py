@@ -47,6 +47,7 @@ class ShiftUNetPlusPlus(nn.Module):
     num_conv_per_stage: int = 2
     shift_size: int = 5
     do_shift: bool = True
+    conv_kernel: Tuple[int, int, int] = (1, 3, 3)
     dense_fusion: bool = True      # the maxpool down links (DSFF substrate)
     compute_dtype: Any = jnp.bfloat16
 
@@ -81,7 +82,7 @@ class ShiftUNetPlusPlus(nn.Module):
         x = x.astype(cd)
 
         common = dict(shift_size=self.shift_size, do_shift=self.do_shift,
-                      compute_dtype=cd)
+                      kernel=self.conv_kernel, compute_dtype=cd)
 
         # ---------------- encoder (convolutional pooling: strided 1st conv)
         nodes: Dict[Tuple[int, int], jnp.ndarray] = {}
@@ -183,6 +184,14 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
             input_channels=num_modalities, num_classes=num_classes_incl_bg,
             pool_op_kernel_sizes=pools, base_num_features=base_num_features,
             do_shift=False, compute_dtype=compute_dtype)
+    if tconv in ("shiftConvPP_313", "shiftConvPP_331"):
+        # kernels (3,1,3)/(3,3,1); the reference disables the shift for
+        # these ablations ('and False', unetpp_d_313.py:102)
+        kern = (3, 1, 3) if tconv.endswith("313") else (3, 3, 1)
+        return ShiftUNetPlusPlus(
+            input_channels=num_modalities, num_classes=num_classes_incl_bg,
+            pool_op_kernel_sizes=pools, base_num_features=base_num_features,
+            do_shift=False, conv_kernel=kern, compute_dtype=compute_dtype)
     if tconv in ("ori", "shiftConvPP_nodff"):
         from .unet import ShiftUNet
         return ShiftUNet(

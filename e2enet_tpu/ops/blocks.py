@@ -67,6 +67,25 @@ def _precision_for(dtype):
             if dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
 
+def conv3d_one_flat(x: jnp.ndarray, kernel: jnp.ndarray,
+                    bias: Optional[jnp.ndarray],
+                    stride: Tuple[int, int, int], flat_axis: int,
+                    compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """3D conv whose kernel is 1 along `flat_axis` (0=D,1=H,2=W): permute
+    that axis into the batch-fold position and run the 2D path. Covers the
+    313/331 ablation kernels (unetpp_d_313.py:286, unetpp_d_331.py:286)."""
+    if flat_axis == 0:
+        return conv3d_as_2d(x, kernel, bias, stride, compute_dtype)
+    # move flat axis to position 1 (the D slot of conv3d_as_2d)
+    perm = {1: (0, 2, 1, 3, 4), 2: (0, 3, 1, 2, 4)}[flat_axis]
+    inv = {1: (0, 2, 1, 3, 4), 2: (0, 2, 3, 1, 4)}[flat_axis]
+    strides = {1: (stride[1], stride[0], stride[2]),
+               2: (stride[2], stride[0], stride[1])}[flat_axis]
+    y = conv3d_as_2d(jnp.transpose(x, perm), kernel, bias, strides,
+                     compute_dtype)
+    return jnp.transpose(y, inv)
+
+
 def conv3d_as_2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
                  stride: Tuple[int, int, int],
                  compute_dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -145,14 +164,21 @@ class ShiftConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         kd, kh, kw = self.kernel
-        assert kd == 1, "E2ENet convs are (1,kh,kw); depth handled by shift"
+        flat_axes = [i for i, k in enumerate(self.kernel) if k == 1]
+        assert len(flat_axes) >= 1, \
+            "E2ENet convs have a size-1 kernel axis (1,3,3)/(3,1,3)/(3,3,1)"
+        flat_axis = flat_axes[0]
+        spatial = tuple(k for k in self.kernel if k != 1) or (1, 1)
+        if len(spatial) == 1:
+            spatial = (spatial[0], 1)
         cin = x.shape[-1]
         kernel = self.param("kernel", he_normal_leaky(),
-                            (kh, kw, cin, self.features))
+                            (*spatial, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        if self.do_shift and (kh, kw) == (3, 3):
+        if self.do_shift and self.kernel == (1, 3, 3):
             x = depth_shift(x, self.shift_size)
-        y = conv3d_as_2d(x, kernel, bias, self.stride, self.compute_dtype)
+        y = conv3d_one_flat(x, kernel, bias, self.stride, flat_axis,
+                            self.compute_dtype)
         scale = self.param("norm_scale", nn.initializers.ones, (self.features,))
         nbias = self.param("norm_bias", nn.initializers.zeros, (self.features,))
         y = instance_norm(y, scale, nbias)

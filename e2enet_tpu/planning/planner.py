@@ -27,6 +27,8 @@ from ..models import vram
 from ..plans import Plans, StagePlan, _to_jsonable
 from ..utils.files import (isdir, join, load_pickle, maybe_mkdir_p, subfiles)
 from ..utils.registry import PLANNERS, PREPROCESSORS
+# importing the module registers the preprocessor classes
+from ..preprocessing import preprocessor as _preprocessor_module  # noqa: F401
 from .topology import get_pool_and_conv_props
 
 

@@ -204,3 +204,42 @@ def test_pretrained_transfer():
     assert n == 1
     assert float(new["context0"]["block0"]["kernel"].sum()) == 3 * 3 * 8
     assert float(new["loc0_0"]["block0"]["kernel"].sum()) == 0
+
+
+@pytest.mark.parametrize("kshape,flat", [((1, 3, 3), 0), ((3, 1, 3), 1),
+                                         ((3, 3, 1), 2)])
+def test_conv3d_one_flat_matches_torch(kshape, flat):
+    """313/331 ablation kernels: any flat-axis conv matches torch conv3d."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from e2enet_tpu.ops.blocks import conv3d_one_flat
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 6, 8, 10, 4).astype(np.float32)   # (N,D,H,W,C)
+    w = rng.randn(5, 4, *kshape).astype(np.float32) * 0.1
+    ref = F.conv3d(torch.from_numpy(np.moveaxis(x, -1, 1)),
+                   torch.from_numpy(w),
+                   padding=tuple(k // 2 for k in kshape)).numpy()
+    wj = np.transpose(np.squeeze(w, axis=2 + flat), (2, 3, 1, 0))
+    got = conv3d_one_flat(jnp.asarray(x), jnp.asarray(wj), None, (1, 1, 1),
+                          flat, jnp.float32)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1), ref,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tconv_313_331_build_and_forward():
+    from e2enet_tpu.models.unetpp import build_network
+    from e2enet_tpu.plans import StagePlan
+    sp = StagePlan(batch_size=1, num_pool_per_axis=[2, 2, 2],
+                   patch_size=[8, 8, 8],
+                   median_patient_size_in_voxels=[8, 8, 8],
+                   current_spacing=[1, 1, 1], original_spacing=[1, 1, 1],
+                   do_dummy_2D_data_aug=False,
+                   pool_op_kernel_sizes=[[2, 2, 2]] * 2,
+                   conv_kernel_sizes=[[3, 3, 3]] * 3)
+    for tconv in ("shiftConvPP_313", "shiftConvPP_331"):
+        net = build_network(sp, 1, 3, tconv=tconv, base_num_features=4,
+                            compute_dtype=jnp.float32)
+        x = jnp.zeros((1, 8, 8, 8, 1))
+        params = net.init(jax.random.PRNGKey(0), x)
+        out = net.apply(params, x, do_ds=False)
+        assert out.shape == (1, 8, 8, 8, 3)
