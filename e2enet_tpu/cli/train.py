@@ -68,6 +68,9 @@ def main(args=None):
     parser.add_argument("--fp32", action="store_true")
     parser.add_argument("-p", "--plans_identifier", type=str,
                         default="nnUNetPlansv2.1")
+    parser.add_argument("-tr", "--trainer_variant", type=str,
+                        default="TPUTrainer",
+                        help="named variant preset (see training/variants)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--da_threads", type=int, default=1)
     # DSFF flags (parity: add_sparse_args)
@@ -100,13 +103,25 @@ def main(args=None):
             update_frequency=a.update_frequency, fix=a.fix)
 
     cascade = a.network == "3d_cascade_fullres"
-    trainer = TPUTrainer(
-        plans, fold, output_folder, dataset_directory=preproc_dir,
+    from ..training.variants import resolve_variant
+    preset = resolve_variant(a.trainer_variant)
+    preset.pop("optimizer", None)   # ranger preset: not yet a trainer knob
+    kwargs = dict(
         stage=stage, batch_dice=batch_dice, tconv=a.Tconv, cascade=cascade,
         max_num_epochs=a.epochs, num_batches_per_epoch=a.batches,
         num_val_batches_per_epoch=a.val_batches,
         fp16=not a.fp32, dsff_config=dsff_cfg, seed=a.seed,
         num_da_threads=a.da_threads, base_num_features=a.base_features)
+    kwargs.update({k: v for k, v in preset.items()
+                   if k in ("max_num_epochs", "loss_name", "momentum",
+                            "initial_lr", "da_level", "dummy_load", "fp16",
+                            "cascade")})
+    if "da" in preset:
+        kwargs["da_level"] = preset["da"]
+    if "loss" in preset:
+        kwargs["loss_name"] = preset["loss"]
+    trainer = TPUTrainer(plans, fold, output_folder,
+                         dataset_directory=preproc_dir, **kwargs)
     trainer.initialize(not a.validation_only)
 
     if not a.validation_only:

@@ -115,7 +115,9 @@ class ShiftUNetPlusPlus(nn.Module):
                 cat = [nodes[(i, j - 1)], up]
                 if i > 0 and self.dense_fusion:
                     cat.append(max_pool(nodes[(i - 1, j - 1)], pools[i - 1]))
-                fused = jnp.concatenate(cat, axis=-1)
+                # pass the parts list: the first conv computes
+                # conv(shift(concat)) without materializing the wide concat
+                fused = cat
                 if z == 0:
                     # full nest column end: (num_conv_per_stage-1)+1 convs
                     fused = StackedConvBlocks(

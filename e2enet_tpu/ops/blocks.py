@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .shift import depth_shift
+from .shift import (depth_shift, depth_shift_custom,
+                    group_shifts_for_range)
 
 LRELU_SLOPE = 1e-2
 INSTNORM_EPS = 1e-5
@@ -163,6 +164,12 @@ class ShiftConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        """x: a tensor, OR a list of tensors representing an implicit
+        channel concatenation. In the list case the concat is never
+        materialized: conv(shift(cat(parts))) == sum_i conv(shift_i(part_i))
+        with each part's shift-group boundaries inherited from the full
+        concat — avoids shifting the wide tensor (the dominant cost of the
+        nest blocks, see PERF_NOTES.md)."""
         kd, kh, kw = self.kernel
         flat_axes = [i for i, k in enumerate(self.kernel) if k == 1]
         assert len(flat_axes) >= 1, \
@@ -171,14 +178,35 @@ class ShiftConvBlock(nn.Module):
         spatial = tuple(k for k in self.kernel if k != 1) or (1, 1)
         if len(spatial) == 1:
             spatial = (spatial[0], 1)
-        cin = x.shape[-1]
+        parts = x if isinstance(x, (list, tuple)) else [x]
+        cin = sum(int(p.shape[-1]) for p in parts)
         kernel = self.param("kernel", he_normal_leaky(),
                             (*spatial, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        if self.do_shift and self.kernel == (1, 3, 3):
-            x = depth_shift(x, self.shift_size)
-        y = conv3d_one_flat(x, kernel, bias, self.stride, flat_axis,
-                            self.compute_dtype)
+        shifting = self.do_shift and self.kernel == (1, 3, 3)
+
+        if len(parts) == 1:
+            x = parts[0]
+            if shifting:
+                x = depth_shift(x, self.shift_size)
+            y = conv3d_one_flat(x, kernel, bias, self.stride, flat_axis,
+                                self.compute_dtype)
+        else:
+            y = None
+            off = 0
+            for part in parts:
+                pc = int(part.shape[-1])
+                if shifting:
+                    groups = group_shifts_for_range(cin, self.shift_size,
+                                                    off, off + pc)
+                    part = depth_shift_custom(part, groups)
+                ksl = jax.lax.slice_in_dim(kernel, off, off + pc, axis=-2)
+                contrib = conv3d_one_flat(part, ksl,
+                                          bias if y is None else None,
+                                          self.stride, flat_axis,
+                                          self.compute_dtype)
+                y = contrib if y is None else y + contrib
+                off += pc
         scale = self.param("norm_scale", nn.initializers.ones, (self.features,))
         nbias = self.param("norm_bias", nn.initializers.zeros, (self.features,))
         y = instance_norm(y, scale, nbias)
@@ -199,6 +227,7 @@ class StackedConvBlocks(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        """x may be a list (implicit concat) — only the first conv sees it."""
         for i in range(self.num_convs):
             x = ShiftConvBlock(
                 features=self.features, kernel=self.kernel,

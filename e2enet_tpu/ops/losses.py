@@ -99,18 +99,30 @@ def topk_cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
     return jnp.mean(vals)
 
 
+def make_loss(name: str, batch_dice: bool = True):
+    """Resolve a loss by registry name to fn(logits, target) (the variant
+    trainers' loss dispatch)."""
+    fn = LOSS_REGISTRY[name]
+    takes_batch_dice = name in ("dc_ce", "dice", "dice_squared", "gdl",
+                                "gdl_ce", "dc_topk")
+    if takes_batch_dice:
+        return lambda o, t: fn(o, t, batch_dice=batch_dice)
+    return fn
+
+
 def deep_supervision_loss(outputs: Sequence[jnp.ndarray],
                           targets: Sequence[jnp.ndarray],
                           weights: Sequence[float],
-                          batch_dice: bool = True) -> jnp.ndarray:
-    """MultipleOutputLoss2 (deep_supervision.py:19-43): weighted sum of
-    DC+CE over deep-supervision heads; zero-weight heads are skipped."""
+                          batch_dice: bool = True,
+                          loss_name: str = "dc_ce") -> jnp.ndarray:
+    """MultipleOutputLoss2 (deep_supervision.py:19-43): weighted sum of the
+    configured loss over deep-supervision heads; zero-weight heads skipped."""
+    loss_fn = make_loss(loss_name, batch_dice)
     total = jnp.asarray(0.0, jnp.float32)
     for o, t, w in zip(outputs, targets, weights):
         if float(w) == 0.0:
             continue
-        total = total + jnp.float32(w) * dc_and_ce_loss(
-            o, t, batch_dice=batch_dice)
+        total = total + jnp.float32(w) * loss_fn(o, t)
     return total
 
 

@@ -89,6 +89,44 @@ def depth_shift(x: jnp.ndarray, shift_size: int, axis: int = 1) -> jnp.ndarray:
     return out
 
 
+def depth_shift_custom(x: jnp.ndarray, groups, axis: int = 1) -> jnp.ndarray:
+    """depth_shift with explicit [(c0, c1, shift)] channel groups (c0/c1
+    relative to x). Used to shift a SLICE of a conceptual concatenation with
+    the boundaries the full concat would have had — the substrate of the
+    split-concat-conv optimization (see blocks.ShiftConvBlock)."""
+    D = x.shape[axis]
+    max_s = max(abs(g[2]) for g in groups) if groups else 0
+    if max_s == 0:
+        return x
+    pad = max_s
+    pad_widths = [(0, 0)] * x.ndim
+    pad_widths[axis] = (pad, pad)
+    xp = jnp.pad(x, pad_widths)
+    C = x.shape[-1]
+    ch_shape = (1,) * (x.ndim - 1) + (C,)
+    ch = jax.lax.broadcasted_iota(jnp.int32, ch_shape, x.ndim - 1)
+    out = None
+    for c0, c1, s in groups:
+        part = jax.lax.slice_in_dim(xp, pad - s, pad - s + D, axis=axis)
+        if out is None:
+            out = part
+        else:
+            out = jnp.where((ch >= c0) & (ch < c1), part, out)
+    return out
+
+
+def group_shifts_for_range(total_channels: int, shift_size: int,
+                           lo: int, hi: int):
+    """The shift groups of channels [lo, hi) within a concatenated tensor of
+    total_channels, re-based to the slice: shift(cat(xs))[..., lo:hi] ==
+    depth_shift_custom(cat(xs)[..., lo:hi], these_groups)."""
+    out = []
+    for c0, c1, s in group_shifts(total_channels, shift_size):
+        if c0 < hi and c1 > lo:
+            out.append((max(c0, lo) - lo, min(c1, hi) - lo, s))
+    return out
+
+
 def depth_shift_reference_numpy(x, shift_size):
     """Slow numpy oracle used by tests. x: (N, C, D, H, W) like the torch
     reference; returns same layout."""

@@ -72,7 +72,9 @@ def sgd_nesterov_update(params, momentum, grads, lr,
 
 
 def make_train_step(model, ds_weights, batch_dice: bool = True,
-                    donate: bool = True, jit_compile: bool = True):
+                    donate: bool = True, jit_compile: bool = True,
+                    loss_name: str = "dc_ce", momentum: float = MOMENTUM,
+                    weight_decay: float = WEIGHT_DECAY):
     """Returns jitted train_step(state, data, targets, lr) ->
     (state, metrics). data: (B, D, H, W, C) f32; targets: tuple of int32
     arrays per DS level."""
@@ -86,7 +88,8 @@ def make_train_step(model, ds_weights, batch_dice: bool = True,
         # kernel_grad_growth).
         outs = model.apply({"params": params}, data, do_ds=True)
         loss = deep_supervision_loss(outs, targets, weights,
-                                     batch_dice=batch_dice)
+                                     batch_dice=batch_dice,
+                                     loss_name=loss_name)
         return loss
 
     def train_step(state: TrainState, data, targets, lr):
@@ -94,7 +97,8 @@ def make_train_step(model, ds_weights, batch_dice: bool = True,
             state.params, data, targets)
         grads, gnorm = clip_by_global_norm(grads, GRAD_CLIP_NORM)
         new_params, new_momentum = sgd_nesterov_update(
-            state.params, state.momentum, grads, lr)
+            state.params, state.momentum, grads, lr,
+            weight_decay=weight_decay, mom=momentum)
         if state.masks is not None:
             new_params = dsff.apply_masks(new_params, state.masks)
             new_momentum = dsff.apply_masks(new_momentum, state.masks)
@@ -107,7 +111,8 @@ def make_train_step(model, ds_weights, batch_dice: bool = True,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, ds_weights, batch_dice: bool = True):
+def make_eval_step(model, ds_weights, batch_dice: bool = True,
+                   loss_name: str = "dc_ce"):
     """Jitted validation iteration: loss + hard tp/fp/fn of the full-res
     head (run_online_evaluation parity)."""
     weights = [float(w) for w in ds_weights]
@@ -115,7 +120,8 @@ def make_eval_step(model, ds_weights, batch_dice: bool = True):
     def eval_step(params, data, targets):
         outs = model.apply({"params": params}, data, do_ds=True)
         loss = deep_supervision_loss(outs, targets, weights,
-                                     batch_dice=batch_dice)
+                                     batch_dice=batch_dice,
+                                     loss_name=loss_name)
         tp, fp, fn = hard_tp_fp_fn(outs[0], targets[0])
         return {"loss": loss, "tp": tp, "fp": fp, "fn": fn}
 

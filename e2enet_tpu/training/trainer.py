@@ -52,7 +52,10 @@ class TPUTrainer:
                  num_val_batches_per_epoch: int = 50, unpack_data: bool = True,
                  fp16: bool = True, dsff_config: Optional[dsff.DSFFConfig] = None,
                  seed: int = 0, num_da_threads: int = 1,
-                 base_num_features: int = 48, cascade: bool = False):
+                 base_num_features: int = 48, cascade: bool = False,
+                 loss_name: str = "dc_ce", momentum: float = 0.99,
+                 initial_lr: float = 1e-2, da_level: Optional[str] = None,
+                 dummy_load: bool = False):
         self.plans = plans
         self.fold = fold
         self.stage = stage
@@ -77,7 +80,11 @@ class TPUTrainer:
                                  if dataset_directory else None)
 
         self.logger = RunLogger(self.output_folder)
-        self.initial_lr = 1e-2
+        self.initial_lr = initial_lr
+        self.loss_name = loss_name
+        self.momentum = momentum
+        self.da_level = da_level
+        self.dummy_load = dummy_load
         self.oversample_foreground_percent = 0.33
 
         self.stage_plan = plans.plans_per_stage[stage]
@@ -137,9 +144,12 @@ class TPUTrainer:
         self.state = create_train_state(params, masks, seed=self.seed)
 
         self.train_step = make_train_step(self.network, self.ds_weights,
-                                          self.batch_dice)
+                                          self.batch_dice,
+                                          loss_name=self.loss_name,
+                                          momentum=self.momentum)
         self.eval_step = make_eval_step(self.network, self.ds_weights,
-                                        self.batch_dice)
+                                        self.batch_dice,
+                                        loss_name=self.loss_name)
         if masks is not None:
             self.mask_update = make_mask_update_step(
                 self.dsff_config.growth)
@@ -174,8 +184,18 @@ class TPUTrainer:
                                      if self.cascade else None),
             cascade_do_cascade_augmentations=self.cascade,
             deep_supervision_scales=self.ds_scales)
+        if self.da_level is not None:
+            from .variants import apply_da_level
+            apply_da_level(self.da_params, self.da_level)
 
     def _setup_generators(self):
+        if self.dummy_load:
+            # benchmarking trainer: random tensors, bypassing I/O + DA
+            # (nnUNetTrainerV2_dummyLoad)
+            self.tr_gen = self._dummy_generator()
+            self.val_gen = self._dummy_generator()
+            self.dataset_val = OrderedDict()
+            return
         folder = join(self.dataset_directory,
                       self.plans.data_identifier + "_stage%d" % self.stage)
         self.folder_with_preprocessed_data = folder
@@ -218,6 +238,27 @@ class TPUTrainer:
         self.val_gen = BatchPipeline(sampler_val, val_params,
                                      validation=True, num_threads=1,
                                      seed=self.seed + 1)
+
+    def _dummy_generator(self):
+        rng = np.random.RandomState(0)
+        num_in = self.num_modalities + (self.num_classes - 1
+                                        if self.cascade else 0)
+        shape = (self.batch_size, num_in, *[int(i) for i in self.patch_size])
+        factors = [[int(round(1 / s)) for s in sc] for sc in self.ds_scales]
+        class _Gen:
+            def __init__(gs):
+                pass
+            def __next__(gs):
+                data = rng.randn(*shape).astype(np.float32)
+                targets = [rng.randint(
+                    0, self.num_classes,
+                    (self.batch_size,
+                     *[int(p) // f for p, f in zip(self.patch_size, fa)])
+                    ).astype(np.int32) for fa in factors]
+                return {"data": data, "target": targets}
+            def stop(gs):
+                pass
+        return _Gen()
 
     # ------------------------------------------------------------ loops
     def _to_device(self, batch):
@@ -404,6 +445,9 @@ class TPUTrainer:
         from ..training import dsff as _dsff
 
         assert self.was_initialized
+        if self.dummy_load:
+            self.logger.log("dummy_load trainer: skipping validation")
+            return
         if not hasattr(self, "dataset_val"):
             folder = join(self.dataset_directory,
                           self.plans.data_identifier
