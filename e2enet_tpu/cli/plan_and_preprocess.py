@@ -15,6 +15,8 @@ from .. import paths
 from ..configuration import default_num_threads
 from ..planning.analyzer import DatasetAnalyzer
 from ..planning import planner as planner_mod  # registers planners
+from ..planning import planner2d as planner2d_mod  # registers 2D planner
+from ..planning import alternative_planners as _alt  # registers variants
 from ..preprocessing.cropping import ImageCropper
 from ..utils.files import (isdir, join, load_json, maybe_mkdir_p, subdirs,
                            subfiles)
@@ -60,6 +62,8 @@ def main(args=None):
                         help="task ids to plan+preprocess")
     parser.add_argument("-pl3d", "--planner3d", type=str,
                         default="ExperimentPlanner3D_v21")
+    parser.add_argument("-pl2d", "--planner2d", type=str, default="None",
+                        help="e.g. ExperimentPlanner2D_v21 ('None' skips 2D)")
     parser.add_argument("-no_pp", action="store_true",
                         help="only plan, skip preprocessing")
     parser.add_argument("-tl", type=int, default=default_num_threads,
@@ -100,12 +104,20 @@ def main(args=None):
                          "dataset.json"),
                     preprocessing_output_dir_this_task)
 
-        planner_cls = PLANNERS.get(a.planner3d)
-        planner = planner_cls(cropped_out_dir,
-                              preprocessing_output_dir_this_task)
-        planner.plan_experiment()
-        if not a.no_pp:
-            planner.run_preprocessing((a.tl, a.tf))
+        if a.planner3d != "None":
+            planner_cls = PLANNERS.get(a.planner3d)
+            planner = planner_cls(cropped_out_dir,
+                                  preprocessing_output_dir_this_task)
+            planner.plan_experiment()
+            if not a.no_pp:
+                planner.run_preprocessing((a.tl, a.tf))
+        if a.planner2d != "None":
+            planner_cls = PLANNERS.get(a.planner2d)
+            planner = planner_cls(cropped_out_dir,
+                                  preprocessing_output_dir_this_task)
+            planner.plan_experiment()
+            if not a.no_pp:
+                planner.run_preprocessing(a.tf)
 
 
 if __name__ == "__main__":

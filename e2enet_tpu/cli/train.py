@@ -31,8 +31,9 @@ def get_default_configuration(network: str, task: str,
     run/default_configuration.py:34-80)."""
     preproc_dir = join(paths.require(paths.get_preprocessing_output_dir(),
                                      "preprocessed dir"), task)
-    plans_json = join(preproc_dir, plans_identifier + "_plans_3D.json")
-    plans_pkl = join(preproc_dir, plans_identifier + "_plans_3D.pkl")
+    suffix = "_plans_2D" if network == "2d" else "_plans_3D"
+    plans_json = join(preproc_dir, plans_identifier + suffix + ".json")
+    plans_pkl = join(preproc_dir, plans_identifier + suffix + ".pkl")
     plans_file = plans_json if isfile(plans_json) else plans_pkl
     plans = Plans.load(plans_file)
     possible_stages = sorted(plans.plans_per_stage.keys())

@@ -174,8 +174,21 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
                   tconv: str = "shiftConvPP", base_num_features: int = 48,
                   compute_dtype=jnp.bfloat16):
     """Network factory by Tconv name.
-    Parity: nnUNetTrainer_simple.initialize_network (:281-357)."""
+    Parity: nnUNetTrainer_simple.initialize_network (:281-357).
+    2D plans (patch D == 1) disable the depth shift — the reference never
+    shifts in 2D (torch_shift is dim_num==3 only)."""
     pools = tuple(tuple(p) for p in plans_stage.pool_op_kernel_sizes)
+    if int(plans_stage.patch_size[0]) == 1:
+        if tconv in ("shiftConvPP",):
+            tconv = "shiftConvPP_noshift"
+        elif tconv == "ori":
+            return __import__(
+                "e2enet_tpu.models.unet", fromlist=["ShiftUNet"]).ShiftUNet(
+                input_channels=num_modalities,
+                num_classes=num_classes_incl_bg,
+                pool_op_kernel_sizes=pools,
+                base_num_features=base_num_features, do_shift=False,
+                max_num_features=480, compute_dtype=compute_dtype)
     if tconv == "shiftConvPP":
         return ShiftUNetPlusPlus(
             input_channels=num_modalities, num_classes=num_classes_incl_bg,

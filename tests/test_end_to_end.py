@@ -153,3 +153,35 @@ def test_full_pipeline(synth_env):
     assert "Dice" in summary["results"]["mean"]["1"]
     print("test-set mean Dice:",
           {k: v["Dice"] for k, v in summary["results"]["mean"].items()})
+
+
+def test_2d_pipeline(synth_env):
+    """2D path: plan2d -> train --network 2d -> predict -m 2d."""
+    from e2enet_tpu.cli import plan_and_preprocess, train, predict
+
+    plan_and_preprocess.main(["-t", "99", "-pl3d", "None",
+                              "-pl2d", "ExperimentPlanner2D_v21",
+                              "-tf", "1", "-tl", "1"])
+    preproc_task = synth_env["preproc"] / TASK
+    plans = load_json(str(preproc_task / "nnUNetPlansv2.1_plans_2D.json"))
+    stage = plans["plans_per_stage"]["0"]
+    assert stage["patch_size"][0] == 1
+    assert all(p[0] == 1 for p in stage["pool_op_kernel_sizes"])
+
+    train.main(["--task", "99", "--network", "2d", "--fold", "0",
+                "--Tconv", "shiftConvPP", "--epochs", "1", "--batches", "2",
+                "--val_batches", "1", "--base_features", "8", "--fp32"])
+    results = synth_env["results"]
+    model_dir = (results / "nnUNet" / "2d" / TASK
+                 / "TPUTrainer__nnUNetPlansv2.1" / "fold_0")
+    assert (model_dir / "shiftConvPP_model_final_checkpoint.model").exists()
+
+    out_dir = synth_env["base"] / "predictions_2d"
+    predict.main(["-i", str(synth_env["task_dir"] / "imagesTs"),
+                  "-o", str(out_dir), "-t", "99", "-m", "2d", "-f", "0",
+                  "--Tconv", "shiftConvPP", "--disable_postprocessing",
+                  "--mode", "fast"])
+    pred = read_nifti(str(out_dir / "spheretest_000.nii.gz"))
+    ref = read_nifti(str(synth_env["task_dir"] / "labelsTs"
+                         / "spheretest_000.nii.gz"))
+    assert pred.array.shape == ref.array.shape
