@@ -28,6 +28,11 @@ def log(*a):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace to this directory")
+    args = ap.parse_args()
     import jax
     import jax.numpy as jnp
     from e2enet_tpu.models.unetpp import ShiftUNetPlusPlus
@@ -79,10 +84,15 @@ def main():
     log(f"compile+first run: {time.time()-t0:.1f}s")
 
     reps = 3
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.time()
     for _ in range(reps):
         acc, w = predictor(params, vol, starts_j, n_valid)
     jax.block_until_ready((acc, w))
+    if args.profile:
+        jax.profiler.stop_trace()
+        log("profiler trace ->", args.profile)
     dt = (time.time() - t0) / reps
     patches_per_sec = n_tiles * tta / dt
     log(f"sliding-window: {dt*1000:.1f} ms/volume, "

@@ -55,7 +55,8 @@ class TPUTrainer:
                  base_num_features: int = 48, cascade: bool = False,
                  loss_name: str = "dc_ce", momentum: float = 0.99,
                  initial_lr: float = 1e-2, da_level: Optional[str] = None,
-                 dummy_load: bool = False):
+                 dummy_load: bool = False,
+                 profile_dir: Optional[str] = None):
         self.plans = plans
         self.fold = fold
         self.stage = stage
@@ -85,6 +86,7 @@ class TPUTrainer:
         self.momentum = momentum
         self.da_level = da_level
         self.dummy_load = dummy_load
+        self.profile_dir = profile_dir
         self.oversample_foreground_percent = 0.33
 
         self.stage_plan = plans.plans_per_stage[stage]
@@ -323,10 +325,17 @@ class TPUTrainer:
             t0 = time.time()
             self.logger.log(f"\nepoch: {self.epoch}")
             self.maybe_update_lr(self.epoch)
+            # trace the second epoch (first is compile-dominated)
+            if self.profile_dir and self.epoch == 1:
+                jax.profiler.start_trace(self.profile_dir)
 
             losses = []
             for _ in range(self.num_batches_per_epoch):
                 losses.append(self.run_iteration(self.tr_gen, self.lr, True))
+            if self.profile_dir and self.epoch == 1:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                self.logger.log("profiler trace ->", self.profile_dir)
             tr_loss = float(np.mean([np.asarray(l) for l in losses]))
             self.all_tr_losses.append(tr_loss)
             self.logger.log("train loss : %.4f" % tr_loss)

@@ -185,3 +185,39 @@ def test_2d_pipeline(synth_env):
     ref = read_nifti(str(synth_env["task_dir"] / "labelsTs"
                          / "spheretest_000.nii.gz"))
     assert pred.array.shape == ref.array.shape
+
+
+def test_continue_training_and_ensemble(synth_env):
+    """-c resume restores epoch + state; predict with save_npz; ensemble
+    merge of two 'models' (same model twice) reproduces its softmax."""
+    from e2enet_tpu.cli import train, predict
+    # resume: epochs 3 continues from the epoch-2 checkpoint of
+    # test_full_pipeline
+    train.main(["--task", "99", "--fold", "0", "--Tconv", "shiftConvPP",
+                "--epochs", "3", "--batches", "2", "--val_batches", "1",
+                "--base_features", "8", "--fp32", "--sparse", "true",
+                "--density", "0.3", "--update_frequency", "4", "-c"])
+    results = synth_env["results"]
+    model_dir = (results / "nnUNet" / "3d_fullres" / TASK
+                 / "TPUTrainer__nnUNetPlansv2.1" / "fold_0")
+    from e2enet_tpu.training.checkpoint import load_checkpoint
+    _, epoch, meta = load_checkpoint(
+        str(model_dir / "shiftConvPP_model_final_checkpoint.model"))
+    assert epoch == 3
+    assert len(meta["all_tr_losses"]) == 3
+
+    # predict with saved softmax npz, then ensemble-merge with itself
+    out1 = synth_env["base"] / "pred_npz"
+    predict.main(["-i", str(synth_env["task_dir"] / "imagesTs"),
+                  "-o", str(out1), "-t", "99", "-f", "0",
+                  "--Tconv", "shiftConvPP", "-z",
+                  "--disable_postprocessing"])
+    assert (out1 / "spheretest_000.npz").exists()
+    from e2enet_tpu.inference.ensemble_predictions import merge
+    out_ens = synth_env["base"] / "pred_ens"
+    merge([str(out1), str(out1)], str(out_ens), override=True)
+    a = read_nifti(str(out1 / "spheretest_000.nii.gz")).array
+    b = read_nifti(str(out_ens / "spheretest_000.nii.gz")).array
+    # mean of identical softmax == the softmax (modulo fp16 storage + order-3
+    # vs order-1 resample of the ensemble path) — labels should mostly agree
+    assert (a == b).mean() > 0.95
