@@ -32,6 +32,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace to this directory")
+    ap.add_argument("--tta_batch", type=int, default=1,
+                    help="mirror flips per forward (memory/parallelism knob)")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -63,7 +65,8 @@ def main():
     apply_fn = lambda p, x: model.apply(p, x, do_ds=False)
     predictor = make_tiled_predictor(apply_fn, patch, num_classes,
                                      mirror_axes=(0, 1, 2),
-                                     do_mirroring=True)
+                                     do_mirroring=True,
+                                     tta_batch=args.tta_batch)
 
     steps = compute_steps_for_sliding_window(patch, vol_shape, 0.5)
     starts = np.array([(a, b, c) for a in steps[0] for b in steps[1]
