@@ -173,6 +173,38 @@ def init_masks_element(params: dict, density: float, rng: jax.Array,
     raise KeyError(f"unknown element init mode '{mode}'")
 
 
+def init_masks_grasp(loss_fn, params: dict, density: float,
+                     data, targets):
+    """GraSP saliency init (snip.py GraSP :115-215): score = -theta * (H g)
+    with Hg = d/dtheta (g_w . g(theta)); normalize by |sum|; REMOVE the
+    (1 - density) largest scores (keep the lowest).
+    loss_fn(params, data, targets) -> scalar."""
+    g1 = jax.grad(loss_fn)(params, data, targets)
+    g1_masked = select_masked(g1)
+
+    def inner(p):
+        g = jax.grad(loss_fn)(p, data, targets)
+        gm = select_masked(g)
+        return sum(jnp.sum(g1_masked[k].astype(jnp.float32)
+                           * gm[k].astype(jnp.float32)) for k in g1_masked)
+
+    Hg = jax.grad(inner)(params)
+    w_masked = select_masked(params)
+    hg_masked = select_masked(Hg)
+    scores = {k: -(w_masked[k].astype(jnp.float32)
+                   * hg_masked[k].astype(jnp.float32)) for k in w_masked}
+    flat = jnp.concatenate([s.reshape(-1) for _, s in sorted(scores.items())])
+    norm = jnp.abs(jnp.sum(flat)) + 1e-10
+    flat = flat / norm
+    num_rm = int(flat.size * (1.0 - density))
+    thr = jnp.sort(flat)[::-1][max(num_rm - 1, 0)]
+    masks = {}
+    for k in sorted(scores.keys()):
+        masks[k] = ((scores[k] / norm) <= thr).astype(jnp.float32) \
+            if num_rm > 0 else jnp.ones_like(scores[k])
+    return masks
+
+
 def _layer_death_growth_element(w, grad, mask, rng, death_rate,
                                 growth_mode: str):
     """Element-granular death/growth (core.py magnitude_death :...,

@@ -243,3 +243,37 @@ def test_tconv_313_331_build_and_forward():
         params = net.init(jax.random.PRNGKey(0), x)
         out = net.apply(params, x, do_ds=False)
         assert out.shape == (1, 8, 8, 8, 3)
+
+
+def test_grasp_init():
+    from e2enet_tpu.models.unetpp import ShiftUNetPlusPlus
+    from e2enet_tpu.ops.losses import dc_and_ce_loss
+    from e2enet_tpu.training import dsff
+    m = ShiftUNetPlusPlus(input_channels=1, num_classes=2,
+                          pool_op_kernel_sizes=((2, 2, 2), (2, 2, 2)),
+                          base_num_features=4, max_num_features=8,
+                          compute_dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randn(1, 8, 8, 8, 1).astype(np.float32))
+    target = jnp.asarray(rng.randint(0, 2, (1, 8, 8, 8)).astype(np.int32))
+    params = m.init(jax.random.PRNGKey(0), data)["params"]
+
+    def loss_fn(p, d, t):
+        out = m.apply({"params": p}, d, do_ds=False)
+        return dc_and_ce_loss(out, t)
+
+    masks = dsff.init_masks_grasp(loss_fn, params, 0.25, data, target)
+    dens = float(dsff.masks_density(masks, params))
+    assert dens == pytest.approx(0.25, abs=0.03)
+
+
+def test_amos2022_device_resample():
+    from e2enet_tpu.inference.amos2022 import resample_softmax_on_device
+    rng = np.random.RandomState(0)
+    sm = rng.rand(3, 8, 10, 12).astype(np.float32)
+    seg = resample_softmax_on_device(sm, (16, 20, 24))
+    assert seg.shape == (16, 20, 24)
+    assert set(np.unique(seg)).issubset({0, 1, 2})
+    # identity resample == plain argmax
+    seg_same = resample_softmax_on_device(sm, (8, 10, 12))
+    np.testing.assert_array_equal(seg_same, sm.argmax(0))
