@@ -72,6 +72,10 @@ def main(args=None):
     parser.add_argument("-tr", "--trainer_variant", type=str,
                         default="TPUTrainer",
                         help="named variant preset (see training/variants)")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="multi-device data-parallel training (DDP "
+                             "equivalent via jax mesh)")
+    parser.add_argument("--spatial_parallel", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--da_threads", type=int, default=1)
     # DSFF flags (parity: add_sparse_args)
@@ -112,7 +116,8 @@ def main(args=None):
         max_num_epochs=a.epochs, num_batches_per_epoch=a.batches,
         num_val_batches_per_epoch=a.val_batches,
         fp16=not a.fp32, dsff_config=dsff_cfg, seed=a.seed,
-        num_da_threads=a.da_threads, base_num_features=a.base_features)
+        num_da_threads=a.da_threads, base_num_features=a.base_features,
+        num_devices=a.num_devices, spatial_parallel=a.spatial_parallel)
     kwargs.update({k: v for k, v in preset.items()
                    if k in ("max_num_epochs", "loss_name", "momentum",
                             "initial_lr", "da_level", "dummy_load", "fp16",

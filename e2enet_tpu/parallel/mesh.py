@@ -62,13 +62,14 @@ def replicate_state(mesh: Mesh, state):
 
 
 def make_sharded_train_step(model, ds_weights, mesh: Mesh,
-                            batch_dice: bool = True):
+                            batch_dice: bool = True, **step_kwargs):
     """jitted train step with explicit shardings: state replicated, batch
     dp+sp sharded. XLA emits the gradient all-reduce over 'data' and conv
-    halo exchanges over 'space'."""
+    halo exchanges over 'space'. step_kwargs forward to make_train_step
+    (loss_name, momentum, ...)."""
     from ..training.train_state import make_train_step
     step = make_train_step(model, ds_weights, batch_dice, donate=False,
-                           jit_compile=False)
+                           jit_compile=False, **step_kwargs)
 
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)

@@ -56,7 +56,9 @@ class TPUTrainer:
                  loss_name: str = "dc_ce", momentum: float = 0.99,
                  initial_lr: float = 1e-2, da_level: Optional[str] = None,
                  dummy_load: bool = False,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 num_devices: Optional[int] = None,
+                 spatial_parallel: int = 1):
         self.plans = plans
         self.fold = fold
         self.stage = stage
@@ -87,6 +89,8 @@ class TPUTrainer:
         self.da_level = da_level
         self.dummy_load = dummy_load
         self.profile_dir = profile_dir
+        self.num_devices = num_devices
+        self.spatial_parallel = spatial_parallel
         self.oversample_foreground_percent = 0.33
 
         self.stage_plan = plans.plans_per_stage[stage]
@@ -145,10 +149,29 @@ class TPUTrainer:
             self.t_max = self.max_num_epochs * self.num_batches_per_epoch
         self.state = create_train_state(params, masks, seed=self.seed)
 
-        self.train_step = make_train_step(self.network, self.ds_weights,
-                                          self.batch_dice,
-                                          loss_name=self.loss_name,
-                                          momentum=self.momentum)
+        self.mesh = None
+        n_dev = self.num_devices or 1
+        if n_dev > 1:
+            # multi-device data(+spatial)-parallel training: replaces the
+            # reference's DDP/NCCL (nnUNetTrainerV2_DDP.py); gradient psum
+            # and the global batch-Dice reduction are inserted by GSPMD
+            from ..parallel.mesh import make_mesh, make_sharded_train_step
+            assert self.batch_size % (n_dev // self.spatial_parallel) == 0, (
+                f"batch {self.batch_size} not divisible by data-parallel "
+                f"size {n_dev // self.spatial_parallel}")
+            self.mesh = make_mesh(jax.devices()[:n_dev],
+                                  spatial_parallel=self.spatial_parallel)
+            self.train_step = make_sharded_train_step(
+                self.network, self.ds_weights, self.mesh, self.batch_dice,
+                loss_name=self.loss_name, momentum=self.momentum)
+            from ..parallel.mesh import replicate_state
+            self.state = replicate_state(self.mesh, self.state)
+            self.logger.log(f"multi-device training: mesh={self.mesh.shape}")
+        else:
+            self.train_step = make_train_step(self.network, self.ds_weights,
+                                              self.batch_dice,
+                                              loss_name=self.loss_name,
+                                              momentum=self.momentum)
         self.eval_step = make_eval_step(self.network, self.ds_weights,
                                         self.batch_dice,
                                         loss_name=self.loss_name)
@@ -264,9 +287,12 @@ class TPUTrainer:
 
     # ------------------------------------------------------------ loops
     def _to_device(self, batch):
-        data = jnp.asarray(np.moveaxis(batch["data"], 1, -1))
-        targets = tuple(jnp.asarray(t) for t in batch["target"])
-        return data, targets
+        data = np.moveaxis(batch["data"], 1, -1)
+        targets = tuple(batch["target"])
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            return shard_batch(self.mesh, data, targets)
+        return jnp.asarray(data), tuple(jnp.asarray(t) for t in targets)
 
     def run_iteration(self, gen, lr, do_backprop=True,
                       run_online_evaluation=False):

@@ -71,3 +71,38 @@ def test_sharded_sliding_window_matches_single_device():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(acc1), np.asarray(acc2),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_multi_device(tmp_path):
+    """TPUTrainer with num_devices=8 (dummy-load): the sharded train step
+    runs and the loss is finite."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from e2enet_tpu.plans import Plans, StagePlan
+    from e2enet_tpu.training.trainer import TPUTrainer
+    sp = StagePlan(batch_size=8, num_pool_per_axis=[2, 2, 2],
+                   patch_size=[8, 16, 16],
+                   median_patient_size_in_voxels=[8, 16, 16],
+                   current_spacing=[1, 1, 1], original_spacing=[1, 1, 1],
+                   do_dummy_2D_data_aug=False,
+                   pool_op_kernel_sizes=[[2, 2, 2]] * 2,
+                   conv_kernel_sizes=[[3, 3, 3]] * 3)
+    plans = Plans(num_stages=1, num_modalities=1, modalities={0: "MR"},
+                  normalization_schemes={0: "nonCT"}, dataset_properties={},
+                  list_of_npz_files=[], original_spacings=[],
+                  original_sizes=[], preprocessed_data_folder=None,
+                  num_classes=2, all_classes=[1, 2], base_num_features=8,
+                  use_mask_for_norm={0: False},
+                  keep_only_largest_region=None,
+                  min_region_size_per_class=None, min_size_per_class=None,
+                  transpose_forward=[0, 1, 2], transpose_backward=[0, 1, 2],
+                  data_identifier="t", plans_per_stage={0: sp})
+    tr = TPUTrainer(plans, 0, str(tmp_path), dataset_directory=None,
+                    max_num_epochs=1, num_batches_per_epoch=2,
+                    num_val_batches_per_epoch=0, base_num_features=4,
+                    fp16=False, dummy_load=True, num_devices=8,
+                    spatial_parallel=2)
+    tr.initialize(True)
+    import numpy as np
+    losses = [tr.run_iteration(tr.tr_gen, 1e-2, True) for _ in range(2)]
+    assert all(np.isfinite(np.asarray(l)) for l in losses)
