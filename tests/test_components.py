@@ -277,3 +277,74 @@ def test_amos2022_device_resample():
     # identity resample == plain argmax
     seg_same = resample_softmax_on_device(sm, (8, 10, 12))
     np.testing.assert_array_equal(seg_same, sm.argmax(0))
+
+
+def test_dataset_converters(tmp_path, monkeypatch):
+    """AMOS/BTCV/KiTS/BraTS converters produce valid nnU-Net raw layouts."""
+    import e2enet_tpu.dataset_conversion.tasks as tasks
+    from e2enet_tpu.utils.files import save_json, load_json
+    raw = tmp_path / "raw"
+    (raw / "nnUNet_raw_data").mkdir(parents=True)
+    monkeypatch.setenv("nnUNet_raw_data_base", str(raw))
+    rng = np.random.RandomState(0)
+
+    def mk(path, seg=False):
+        arr = (rng.randint(0, 4, (4, 5, 6)).astype(np.uint8) if seg
+               else rng.rand(4, 5, 6).astype(np.float32))
+        write_nifti(str(path), NiftiImage(arr, (1, 1, 1)))
+
+    # AMOS-style source
+    amos = tmp_path / "amos"
+    for sub in ("imagesTr", "labelsTr", "imagesTs"):
+        (amos / sub).mkdir(parents=True)
+    mk(amos / "imagesTr" / "amos_0001.nii.gz")
+    mk(amos / "labelsTr" / "amos_0001.nii.gz", seg=True)
+    mk(amos / "imagesTs" / "amos_0009.nii.gz")
+    save_json({"training": [{"image": "./imagesTr/amos_0001.nii.gz",
+                             "label": "./labelsTr/amos_0001.nii.gz"}],
+               "test": ["./imagesTs/amos_0009.nii.gz"],
+               "labels": {str(k): v for k, v in
+                          tasks.AMOS_LABELS.items()}},
+              str(amos / "task1_dataset.json"))
+    out = tasks.convert_amos2022(str(amos))
+    d = load_json(os.path.join(out, "dataset.json"))
+    assert d["numTraining"] == 1 and d["modality"]["0"] == "CT"
+    assert os.path.isfile(os.path.join(out, "imagesTr",
+                                       "amos_0001_0000.nii.gz"))
+
+    # BTCV-style source
+    btcv = tmp_path / "btcv"
+    for sub in ("Training/img", "Training/label", "Testing/img"):
+        (btcv / sub).mkdir(parents=True)
+    mk(btcv / "Training/img/img0001.nii.gz")
+    mk(btcv / "Training/label/label0001.nii.gz", seg=True)
+    mk(btcv / "Testing/img/img0061.nii.gz")
+    out = tasks.convert_btcv(str(btcv))
+    assert os.path.isfile(os.path.join(out, "imagesTr",
+                                       "img0001_0000.nii.gz"))
+    assert os.path.isfile(os.path.join(out, "labelsTr", "img0001.nii.gz"))
+
+    # KiTS-style source
+    kits = tmp_path / "kits"
+    (kits / "case_00000").mkdir(parents=True)
+    mk(kits / "case_00000" / "imaging.nii.gz")
+    mk(kits / "case_00000" / "segmentation.nii.gz", seg=True)
+    out = tasks.convert_kits(str(kits))
+    assert os.path.isfile(os.path.join(out, "labelsTr",
+                                       "case_00000.nii.gz"))
+
+    # BraTS-style source (seg has label 4 -> remapped to 3)
+    brats = tmp_path / "brats"
+    c = brats / "BraTS20_Training_001"
+    c.mkdir(parents=True)
+    for m in ("t1", "t1ce", "t2", "flair"):
+        mk(c / f"BraTS20_Training_001_{m}.nii.gz")
+    seg = np.zeros((4, 5, 6), np.uint8)
+    seg[0, 0, 0] = 4
+    seg[1, 1, 1] = 1
+    write_nifti(str(c / "BraTS20_Training_001_seg.nii.gz"),
+                NiftiImage(seg, (1, 1, 1)))
+    out = tasks.convert_brats(str(brats), 82, "BraTS2020")
+    conv = read_nifti(os.path.join(out, "labelsTr",
+                                   "BraTS20_Training_001.nii.gz")).array
+    assert conv[0, 0, 0] == 3 and conv[1, 1, 1] == 1
