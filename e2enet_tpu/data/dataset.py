@@ -20,7 +20,8 @@ NUM_FOLDS = 5
 
 def get_case_identifiers(folder) -> List[str]:
     return [os.path.basename(i)[:-4] for i in
-            subfiles(folder, join=False, suffix="npz")]
+            subfiles(folder, join=False, suffix="npz")
+            if not i.endswith("_segFromPrevStage.npz")]
 
 
 def load_dataset(folder) -> "OrderedDict[str, dict]":

@@ -269,6 +269,12 @@ class ExperimentPlanner3D_v21:
                     len(all_classes) + 1)
                 architecture_input_voxels_here = np.prod(
                     new.patch_size, dtype=np.int64)
+                if len(new.pool_op_kernel_sizes) == 0:
+                    # patch degenerated below any poolable size — stop
+                    # (safety net the reference lacks; only reachable on
+                    # unusually tiny datasets)
+                    new = None
+                    break
             if new is not None and 2 * np.prod(
                     new.median_patient_size_in_voxels,
                     dtype=np.int64) < np.prod(

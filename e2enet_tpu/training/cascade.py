@@ -38,8 +38,13 @@ def predict_next_stage(trainer, stage_to_be_predicted_folder: str,
     next stage's geometry. Running all folds covers the full training set
     without train-set leakage."""
     from ..data.dataset import load_case
-    output_folder = join(os.path.dirname(trainer.output_folder),
-                         "pred_next_stage")
+    # NOTE deviation from the reference (which writes to
+    # <results>/3d_lowres/.../pred_next_stage and points the cascade trainer
+    # there): we write the segs directly into the next stage's preprocessed
+    # folder, where the sampler finds them next to the data files. Each fold
+    # predicts only its validation cases, so running all folds covers the
+    # training set exactly once.
+    output_folder = stage_to_be_predicted_folder
     maybe_mkdir_p(output_folder)
 
     apply_fn = lambda p, x: trainer.network.apply({"params": p}, x,

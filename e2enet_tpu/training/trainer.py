@@ -259,6 +259,9 @@ class TPUTrainer:
         val_params = AugmentParams(
             patch_size=tuple(int(i) for i in self.patch_size),
             mask_was_used_for_normalization=self.plans.use_mask_for_norm,
+            move_last_seg_channel_to_data=self.cascade,
+            all_segmentation_labels=(list(range(1, self.num_classes))
+                                     if self.cascade else None),
             deep_supervision_scales=self.ds_scales)
         self.val_gen = BatchPipeline(sampler_val, val_params,
                                      validation=True, num_threads=1,
