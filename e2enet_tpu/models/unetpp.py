@@ -49,6 +49,7 @@ class ShiftUNetPlusPlus(nn.Module):
     do_shift: bool = True
     conv_kernel: Tuple[int, int, int] = (1, 3, 3)
     dense_fusion: bool = True      # the maxpool down links (DSFF substrate)
+    remat: bool = True             # rematerialize conv blocks in backward
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -83,56 +84,71 @@ class ShiftUNetPlusPlus(nn.Module):
 
         common = dict(shift_size=self.shift_size, do_shift=self.do_shift,
                       kernel=self.conv_kernel, compute_dtype=cd)
+        # remat: store only block boundaries for the backward pass — the
+        # full-res activations of every shift/conv/norm intermediate would
+        # not fit in HBM at production patch sizes (jax.checkpoint)
+        Stack = (nn.remat(StackedConvBlocks, static_argnums=())
+                 if self.remat else StackedConvBlocks)
 
         # ---------------- encoder (convolutional pooling: strided 1st conv)
         nodes: Dict[Tuple[int, int], jnp.ndarray] = {}
         h = x
         for d in range(P):
             stride = pools[d - 1] if d > 0 else (1, 1, 1)
-            h = StackedConvBlocks(features=enc[d],
+            h = Stack(features=enc[d],
                                   num_convs=self.num_conv_per_stage,
                                   first_stride=stride,
                                   name=f"context{d}", **common)(h)
             nodes[(d, 0)] = h
         # bottleneck: (num_conv_per_stage - 1) strided convs + 1 conv
         # (unetpp_d.py:365-371)
-        h = StackedConvBlocks(features=enc[P],
+        h = Stack(features=enc[P],
                               num_convs=self.num_conv_per_stage - 1,
                               first_stride=pools[P - 1],
                               name=f"context{P}a", **common)(h)
-        h = StackedConvBlocks(features=enc[P], num_convs=1,
+        h = Stack(features=enc[P], num_convs=1,
                               name=f"context{P}b", **common)(h)
         nodes[(P, 0)] = h
 
         # ---------------- dense nest
+        # each node (transpconv + implicit concat + fusion convs) is ONE
+        # remat unit: only the node outputs (the x-grid) are kept for the
+        # backward pass; up/concat/conv intermediates are recomputed
+        def node_fn(mdl, below, same, above, z, k, i):
+            up = TranspConv(features=enc[i], stride=pools[i],
+                            compute_dtype=cd,
+                            name=f"up{z}_{k}", parent=mdl)(below)
+            cat = [same, up]
+            if above is not None:
+                cat.append(max_pool(above, pools[i - 1]))
+            # parts list: the first conv computes conv(shift(concat))
+            # without materializing the wide concat
+            fused = cat
+            if z == 0:
+                fused = StackedConvBlocks(
+                    features=enc[i], num_convs=self.num_conv_per_stage - 1,
+                    name=f"loc{z}_{k}", parent=mdl, **common)(fused)
+                fused = StackedConvBlocks(
+                    features=enc[i], num_convs=1,
+                    name=f"loc{z}_{k}_final", parent=mdl, **common)(fused)
+            else:
+                fused = StackedConvBlocks(
+                    features=enc[i], num_convs=self.num_conv_per_stage - 1,
+                    name=f"loc{z}_{k}", parent=mdl, **common)(fused)
+            return fused
+
+        node = (nn.remat(node_fn, static_argnums=(4, 5, 6))
+                if self.remat else node_fn)
+
         for j in range(1, P + 1):
             for i in range(P - j, -1, -1):
                 z = P - i - j          # reference nest index: loc{z}[j-1]
                 k = j - 1
                 below = nodes[(i + 1, j - 1)]
-                up = TranspConv(features=enc[i], stride=pools[i],
-                                compute_dtype=cd, name=f"up{z}_{k}")(below)
-                cat = [nodes[(i, j - 1)], up]
-                if i > 0 and self.dense_fusion:
-                    cat.append(max_pool(nodes[(i - 1, j - 1)], pools[i - 1]))
-                # pass the parts list: the first conv computes
-                # conv(shift(concat)) without materializing the wide concat
-                fused = cat
-                if z == 0:
-                    # full nest column end: (num_conv_per_stage-1)+1 convs
-                    fused = StackedConvBlocks(
-                        features=enc[i],
-                        num_convs=self.num_conv_per_stage - 1,
-                        name=f"loc{z}_{k}", **common)(fused)
-                    fused = StackedConvBlocks(
-                        features=enc[i], num_convs=1,
-                        name=f"loc{z}_{k}_final", **common)(fused)
-                else:
-                    fused = StackedConvBlocks(
-                        features=enc[i],
-                        num_convs=self.num_conv_per_stage - 1,
-                        name=f"loc{z}_{k}", **common)(fused)
-                nodes[(i, j)] = fused
+                same = nodes[(i, j - 1)]
+                above = (nodes[(i - 1, j - 1)]
+                         if (i > 0 and self.dense_fusion) else None)
+                nodes[(i, j)] = node(self, below, same, above, z, k, i)
 
         # ---------------- deep supervision heads
         n_heads = self.num_ds_outputs()
