@@ -8,18 +8,17 @@ Usage:
       [--verify_dataset_integrity] [-tl N] [-tf N]
 """
 import argparse
-import os
 import shutil
 
 from .. import paths
 from ..configuration import default_num_threads
 from ..planning.analyzer import DatasetAnalyzer
-from ..planning import planner as planner_mod  # registers planners
-from ..planning import planner2d as planner2d_mod  # registers 2D planner
-from ..planning import alternative_planners as _alt  # registers variants
+# imported for their registration side effects
+from ..planning import planner as _planner_mod  # noqa: F401
+from ..planning import planner2d as _planner2d_mod  # noqa: F401
+from ..planning import alternative_planners as _alt_planners  # noqa: F401
 from ..preprocessing.cropping import ImageCropper
-from ..utils.files import (isdir, join, load_json, maybe_mkdir_p, subdirs,
-                           subfiles)
+from ..utils.files import join, load_json, maybe_mkdir_p
 from ..utils.registry import PLANNERS
 from ..utils.task_names import convert_id_to_task_name
 

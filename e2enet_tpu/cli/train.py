@@ -11,13 +11,12 @@ Usage:
       --death-rate 0.5 --update_frequency 1200 --epochs 1000 --batches 250
 """
 import argparse
-import os
 
 from .. import paths
 from ..plans import Plans
 from ..training.dsff import DSFFConfig
 from ..training.trainer import TPUTrainer
-from ..utils.files import isdir, isfile, join, maybe_mkdir_p
+from ..utils.files import isfile, join
 from ..utils.task_names import convert_id_to_task_name
 
 

@@ -14,8 +14,8 @@ the nnUNetTrainer_simple.setup_DA_params overrides :682-733):
 The reference runs this in a process pool (MultiThreadedAugmenter); here a
 background thread pipeline (data/pipeline.py) hides it behind device compute.
 """
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from scipy.ndimage import affine_transform, gaussian_filter

@@ -8,7 +8,7 @@ random_state=12345) cached in splits_final.pkl).
 """
 import os
 from collections import OrderedDict
-from typing import Dict, List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

@@ -8,7 +8,6 @@ work with TPU compute.
 """
 import queue
 import threading
-from typing import Optional
 
 import numpy as np
 

@@ -7,7 +7,7 @@ centering the patch on a precomputed `class_locations` voxel of a randomly
 chosen present class; bbox may extend past the volume and is padded (data:
 constant 0 via pad_mode='constant' in the trainer, seg: constant -1).
 """
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -13,7 +13,6 @@ utils.convert_decathlon_task.
 """
 import os
 import shutil
-from typing import Dict, Optional
 
 from .. import paths
 from ..io.nifti import read_nifti, write_nifti, NiftiImage

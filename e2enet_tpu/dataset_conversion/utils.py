@@ -7,7 +7,7 @@ and the decathlon 4D->3D splitter
 common_utils.split_4d_nifti :23-47).
 """
 import os
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -82,7 +82,6 @@ def convert_decathlon_task(input_folder: str, output_base: str,
     nnUNet_convert_decathlon_task.py): splits 4D images, renames with _0000
     modality suffixes, copies labels and dataset.json."""
     import shutil
-    from ..utils.files import load_json
 
     task_name = os.path.basename(input_folder.rstrip("/"))
     assert task_name.startswith("Task"), \

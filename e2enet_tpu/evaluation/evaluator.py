@@ -13,7 +13,6 @@ import os
 from collections import OrderedDict
 from concurrent.futures import ProcessPoolExecutor
 from datetime import datetime
-from typing import Optional
 
 import numpy as np
 

@@ -8,7 +8,6 @@ and evaluation/surface_dice.py:20 (normalized surface Dice at tolerance).
 All metrics share the reference's registry-and-kwargs calling convention so
 the Evaluator is drop-in compatible.
 """
-from typing import Optional
 
 import numpy as np
 from scipy.ndimage import binary_erosion, distance_transform_edt, \

@@ -9,13 +9,12 @@ softmax (requires validate(save_softmax=True)).
 """
 import os
 from collections import OrderedDict
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
 from .. import paths
-from ..utils.files import (isdir, isfile, join, load_json, maybe_mkdir_p,
-                           save_json, subdirs)
+from ..utils.files import (isdir, isfile, join, load_json, maybe_mkdir_p, save_json)
 from .evaluator import aggregate_scores
 
 

@@ -10,7 +10,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from ..io.nifti import read_nifti
-from ..utils.files import join, save_json, subfiles
+from ..utils.files import join, subfiles
 
 
 def get_brats_regions() -> Dict[str, Tuple[int, ...]]:

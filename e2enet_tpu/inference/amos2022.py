@@ -10,7 +10,6 @@ module adds device-side trilinear softmax resampling (jax.image.resize) so
 the host only receives the final original-geometry label map.
 """
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

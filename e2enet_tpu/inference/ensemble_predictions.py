@@ -4,14 +4,11 @@ Parity: reference inference/ensemble_predictions.py (merge :56-98): average
 the saved .npz softmax of 2+ model outputs per case, export, optionally
 apply postprocessing from a chosen postprocessing.json.
 """
-import os
-from concurrent.futures import ProcessPoolExecutor
 from typing import List, Optional
 
 import numpy as np
 
-from ..utils.files import (isfile, join, load_json, load_pickle,
-                           maybe_mkdir_p, subfiles)
+from ..utils.files import isfile, join, load_pickle, maybe_mkdir_p, subfiles
 from .export import save_segmentation_nifti_from_softmax
 
 

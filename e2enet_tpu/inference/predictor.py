@@ -16,7 +16,7 @@ the current one (reference's preprocess_multithreaded Queue(1), :93-128).
 import os
 import queue
 import threading
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -26,8 +26,7 @@ from ..plans import Plans
 from ..preprocessing.preprocessor import GenericPreprocessor
 from ..models.unetpp import build_network
 from ..training.checkpoint import load_checkpoint
-from ..utils.files import (isdir, isfile, join, load_json, load_pickle,
-                           maybe_mkdir_p, subfiles)
+from ..utils.files import (isdir, isfile, join, load_pickle, maybe_mkdir_p, subfiles)
 from .export import save_segmentation_nifti_from_softmax
 
 

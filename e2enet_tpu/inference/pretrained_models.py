@@ -10,10 +10,9 @@ fully functional.
 """
 import os
 import zipfile
-from typing import Optional
 
 from .. import paths
-from ..utils.files import isdir, isfile, join, maybe_mkdir_p, subdirs
+from ..utils.files import isdir, isfile, join, maybe_mkdir_p
 
 # task -> released model URL (reference registry shape; populate as models
 # are published)

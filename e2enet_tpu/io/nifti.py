@@ -15,10 +15,9 @@ Supports .nii and .nii.gz, the standard scalar dtypes, scl_slope/scl_inter
 rescaling, and sform/qform affines (sform preferred).
 """
 import gzip
-import os
 import struct
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import numpy as np
 

@@ -12,10 +12,9 @@ TPU predictor — the fidelity bridge SURVEY.md §7 calls for.
 import os
 from typing import Optional
 
-import numpy as np
 
 from ..plans import Plans
-from ..utils.files import isfile, load_pickle, save_pickle
+from ..utils.files import isfile, load_pickle
 from .torch_import import convert_unetpp_state_dict
 
 

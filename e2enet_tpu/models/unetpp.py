@@ -20,7 +20,7 @@ unetpp_d.py:447-488). Reference index mapping: x(i, j) = loc{P-i-j}[j-1].
 Deep-supervision heads sit on x(0,P), x(1,P-1), x(2,P-2), x(3,P-3)
 (unetpp_d.py:394-401,480-483).
 """
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

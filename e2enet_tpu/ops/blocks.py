@@ -16,7 +16,7 @@ Reference parity: ConvDropoutNormNonlin (unetpp_d.py:61-111),
 StackedConvLayers (unetpp_d.py:122-185), transpconv construction
 (unetpp_d.py:521-522), maxpool down links (unetpp_d.py:524).
 """
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ deep_supervision.py (MultipleOutputLoss2 :19-43).
 Layout: logits (N, D, H, W, C); target (N, D, H, W) integer labels.
 All loss math in float32.
 """
-from functools import partial
 from typing import List, Optional, Sequence
 
 import jax

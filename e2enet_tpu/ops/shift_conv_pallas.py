@@ -30,11 +30,9 @@ kernel is kept for the next optimization round (the remaining win is ~2x on
 the level-0 blocks).
 """
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -16,7 +16,7 @@ tile count is bucketed (padded with dummy zero-weight tiles) so one compiled
 program serves many volume shapes.
 """
 import functools
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -205,12 +205,9 @@ def make_tiled_predictor_sharded(apply_fn: Callable,
     weight 0 via n_valid). Device d processes tiles [d::n_dev] so real tiles
     spread evenly across devices.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    local = make_tiled_predictor(apply_fn, patch_size, num_classes,
-                                 mirror_axes, do_mirroring, accum_dtype,
-                                 tta_batch)
+    from jax.sharding import PartitionSpec as P
 
-    # reuse the single-device run's inner logic through shard_map
+    # the single-device accumulation logic runs per shard via shard_map
     def shard_fn(params, volume, starts, n_valid, tile_ids):
         acc, wacc = _tiled_accumulate(
             apply_fn, patch_size, num_classes, mirror_axes, do_mirroring,

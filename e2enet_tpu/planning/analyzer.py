@@ -6,7 +6,6 @@ Writes dataset_properties.pkl into the cropped-data folder, the input of the
 experiment planner.
 """
 from collections import OrderedDict
-from concurrent.futures import ProcessPoolExecutor
 import os
 
 import numpy as np

@@ -13,7 +13,6 @@ TPU design: 2D is embedded as D=1 volumes — patch (1, py, px), pool kernels
 oversampling), augmentation, model (depth-shift auto-disabled at D==1),
 sliding window (steps over every slice) and export all apply unchanged.
 """
-from collections import OrderedDict
 from copy import deepcopy
 
 import numpy as np

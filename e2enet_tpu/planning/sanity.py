@@ -9,7 +9,7 @@ dataset.json.
 import numpy as np
 
 from ..io.nifti import read_nifti
-from ..utils.files import isfile, join, load_json, subfiles
+from ..utils.files import isfile, join, load_json
 
 
 def verify_dataset_integrity(folder: str):

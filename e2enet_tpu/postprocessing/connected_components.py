@@ -9,8 +9,7 @@ removal; keep each choice iff it raises the mean foreground Dice by more
 than `dice_threshold`; record decisions + minimum valid object sizes in
 postprocessing.json.
 """
-import json
-from typing import Dict, List, Optional, Tuple, Union
+from typing import List, Optional
 
 import numpy as np
 from scipy.ndimage import label

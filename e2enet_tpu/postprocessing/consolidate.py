@@ -6,16 +6,13 @@ cv_niftis_raw/, evaluate against the ground truth, then run
 determine_postprocessing on the pooled set so postprocessing.json reflects
 the full CV rather than one fold.
 """
-import os
-import shutil
 
 import numpy as np
 
 from ..evaluation.evaluator import aggregate_scores
 from ..evaluation.model_selection import collect_cv_niftis
 from ..io.nifti import read_nifti
-from ..utils.files import (isdir, isfile, join, load_json, maybe_mkdir_p,
-                           subfiles)
+from ..utils.files import isfile, join, load_json, subfiles
 from .connected_components import determine_postprocessing
 
 

@@ -8,15 +8,14 @@ load_case_from_list_of_files :60-82, ImageCropper :123-217).
 import os
 from collections import OrderedDict
 from concurrent.futures import ProcessPoolExecutor
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 from scipy.ndimage import binary_fill_holes
 
 from ..configuration import default_num_threads
 from ..io.nifti import read_nifti
-from ..utils.files import (isfile, join, load_pickle, maybe_mkdir_p,
-                           save_pickle, subfiles)
+from ..utils.files import (isfile, join, load_pickle, maybe_mkdir_p, save_pickle)
 
 
 def create_nonzero_mask(data: np.ndarray) -> np.ndarray:

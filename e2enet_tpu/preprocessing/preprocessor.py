@@ -11,9 +11,8 @@ _run_internal :330-366 incl. the seeded 10k class-location sampling
   else  : per-case z-score (within the nonzero mask when configured)
 """
 import os
-from collections import OrderedDict
 from concurrent.futures import ProcessPoolExecutor
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -14,7 +14,6 @@ Rules (preprocessing.py:28-35,113-202):
   * if max(spacing)/min(spacing) > 3 the volume is resampled slice-wise
     in-plane and nearest (order 0) along the low-res axis.
 """
-from collections import OrderedDict
 from typing import Optional, Sequence
 
 import numpy as np

@@ -11,13 +11,13 @@ cascade branch of the predict CLI (simple_predict.py:194-211: auto-predict
 lowres first).
 """
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
 from ..ops.sliding import make_tiled_predictor, predict_volume_tiled
 from ..preprocessing.resampling import resample_data_or_seg
-from ..utils.files import join, maybe_mkdir_p, subfiles
+from ..utils.files import join, maybe_mkdir_p
 
 
 def resample_and_save(predicted_probabilities: np.ndarray, target_shape,

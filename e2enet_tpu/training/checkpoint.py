@@ -15,8 +15,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 
-from ..utils.files import save_pickle, load_pickle
-from .train_state import TrainState, create_train_state
+from ..utils.files import save_pickle
+from .train_state import TrainState
 
 
 def _mask_key_to_str(k: Tuple[str, ...]) -> str:

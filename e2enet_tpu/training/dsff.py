@@ -24,7 +24,6 @@ MXU-friendly). The death/growth update is a single jitted function of
 (params, grads, masks, rng, death_rate) — dynamic prune counts are realized
 via sort + traced-index thresholding so all shapes stay static.
 """
-import math
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 

@@ -5,10 +5,8 @@ and copy only the shape-matching encoder ('conv_blocks'/'context') params
 into a freshly initialized network — used to warm-start cascades or
 fine-tuning on new tasks.
 """
-from typing import Tuple
 
 import jax
-import numpy as np
 
 from .checkpoint import load_checkpoint
 

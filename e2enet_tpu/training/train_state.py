@@ -14,7 +14,7 @@ Precision: params float32, network compute bfloat16 (reference trains fp16
 autocast + GradScaler; bf16 needs no loss scaling on TPU), loss/grad-norm
 math float32.
 """
-from typing import Any, Dict, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -39,8 +39,7 @@ from ..utils.registry import TRAINERS
 from . import dsff
 from .checkpoint import load_checkpoint, save_checkpoint
 from .lr import poly_lr
-from .train_state import (TrainState, create_train_state, make_eval_step,
-                          make_mask_update_step, make_train_step)
+from .train_state import (create_train_state, make_eval_step, make_mask_update_step, make_train_step)
 
 
 @TRAINERS.register()
@@ -480,7 +479,6 @@ class TPUTrainer:
         from ..inference.export import save_segmentation_nifti_from_softmax
         from ..evaluation.evaluator import aggregate_scores
         from ..ops.sliding import make_tiled_predictor, predict_volume_tiled
-        from ..training import dsff as _dsff
 
         assert self.was_initialized
         if self.dummy_load:

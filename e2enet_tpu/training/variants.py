@@ -7,7 +7,7 @@ and overrides one knob (loss, optimizer, DA level, momentum, epochs...).
 Here they are declarative presets applied to TPUTrainer's constructor and
 AugmentParams/loss configuration; same names resolve via VARIANTS.
 """
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 VARIANTS: Dict[str, Dict[str, Any]] = {
     # --- default

@@ -7,7 +7,6 @@ modality and alpha-blends per-class colors; folder driver writes one PNG per
 case.
 """
 import os
-from typing import Optional, Sequence
 
 import numpy as np
 
