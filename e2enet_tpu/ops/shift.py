@@ -16,6 +16,7 @@ Implementation: one zero-pad of D plus `shift_size` static slices
 concatenated along C. XLA fuses this into the surrounding ops; there is no
 materialized roll.
 """
+import functools
 from typing import List, Tuple
 
 import jax
@@ -52,6 +53,7 @@ def group_shifts(num_channels: int, shift_size: int) -> List[Tuple[int, int, int
     return out
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def depth_shift(x: jnp.ndarray, shift_size: int, axis: int = 1) -> jnp.ndarray:
     """Apply the channel-grouped depth shift.
 
@@ -89,11 +91,28 @@ def depth_shift(x: jnp.ndarray, shift_size: int, axis: int = 1) -> jnp.ndarray:
     return out
 
 
+def _depth_shift_fwd(x, shift_size, axis):
+    return depth_shift.__wrapped__(x, shift_size, axis), None
+
+
+def _depth_shift_bwd(shift_size, axis, _res, g):
+    # the adjoint of a zero-filled shift is the shift by the negated
+    # offsets — one select pass instead of autodiff's chain of masked pads
+    C = g.shape[-1]
+    groups = [(c0, c1, -s) for (c0, c1, s) in group_shifts(C, shift_size)]
+    return (depth_shift_custom(g, groups, axis=axis),)
+
+
+depth_shift.defvjp(_depth_shift_fwd, _depth_shift_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def depth_shift_custom(x: jnp.ndarray, groups, axis: int = 1) -> jnp.ndarray:
-    """depth_shift with explicit [(c0, c1, shift)] channel groups (c0/c1
-    relative to x). Used to shift a SLICE of a conceptual concatenation with
-    the boundaries the full concat would have had — the substrate of the
-    split-concat-conv optimization (see blocks.ShiftConvBlock)."""
+    """depth_shift with explicit ((c0, c1, shift), ...) channel groups
+    (c0/c1 relative to x; must be a hashable tuple of tuples). Used to shift
+    a SLICE of a conceptual concatenation with the boundaries the full
+    concat would have had — the substrate of the split-concat-conv
+    optimization (see blocks.ShiftConvBlock)."""
     D = x.shape[axis]
     max_s = max(abs(g[2]) for g in groups) if groups else 0
     if max_s == 0:
@@ -115,6 +134,18 @@ def depth_shift_custom(x: jnp.ndarray, groups, axis: int = 1) -> jnp.ndarray:
     return out
 
 
+def _depth_shift_custom_fwd(x, groups, axis):
+    return depth_shift_custom.__wrapped__(x, groups, axis), None
+
+
+def _depth_shift_custom_bwd(groups, axis, _res, g):
+    neg = tuple((c0, c1, -s) for (c0, c1, s) in groups)
+    return (depth_shift_custom.__wrapped__(g, neg, axis),)
+
+
+depth_shift_custom.defvjp(_depth_shift_custom_fwd, _depth_shift_custom_bwd)
+
+
 def group_shifts_for_range(total_channels: int, shift_size: int,
                            lo: int, hi: int):
     """The shift groups of channels [lo, hi) within a concatenated tensor of
@@ -124,7 +155,7 @@ def group_shifts_for_range(total_channels: int, shift_size: int,
     for c0, c1, s in group_shifts(total_channels, shift_size):
         if c0 < hi and c1 > lo:
             out.append((max(c0, lo) - lo, min(c1, hi) - lo, s))
-    return out
+    return tuple(out)
 
 
 def depth_shift_reference_numpy(x, shift_size):
