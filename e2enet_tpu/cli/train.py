@@ -75,6 +75,10 @@ def main(args=None):
                         help="multi-device data-parallel training (DDP "
                              "equivalent via jax mesh)")
     parser.add_argument("--spatial_parallel", type=int, default=1)
+    parser.add_argument("--device_augment", action="store_true",
+                        help="run the augmentation chain on-device (jitted; "
+                             "trilinear spatial — see ops/device_augment.py "
+                             "for deviations vs the reference host chain)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--da_threads", type=int, default=1)
     # DSFF flags (parity: add_sparse_args)
@@ -116,7 +120,8 @@ def main(args=None):
         num_val_batches_per_epoch=a.val_batches,
         fp16=not a.fp32, dsff_config=dsff_cfg, seed=a.seed,
         num_da_threads=a.da_threads, base_num_features=a.base_features,
-        num_devices=a.num_devices, spatial_parallel=a.spatial_parallel)
+        num_devices=a.num_devices, spatial_parallel=a.spatial_parallel,
+        device_augment=a.device_augment)
     kwargs.update({k: v for k, v in preset.items()
                    if k in ("max_num_epochs", "loss_name", "momentum",
                             "initial_lr", "da_level", "dummy_load", "fp16",

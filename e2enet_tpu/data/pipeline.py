@@ -18,10 +18,11 @@ from .sampler import PatchSampler3D
 class BatchPipeline:
     def __init__(self, sampler: PatchSampler3D, params: AugmentParams,
                  validation: bool = False, num_threads: int = 1,
-                 queue_size: int = 4, seed: int = 0):
+                 queue_size: int = 4, seed: int = 0, raw: bool = False):
         self.sampler = sampler
         self.params = params
         self.validation = validation
+        self.raw = raw  # skip host augmentation (device-augment mode)
         self.queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
         self.threads = []
@@ -35,8 +36,11 @@ class BatchPipeline:
     def _worker(self, rng):
         while not self._stop.is_set():
             batch = self.sampler.generate_train_batch()
-            out = augment_batch(batch, self.params, rng,
-                                validation=self.validation)
+            if self.raw:
+                out = {"data": batch["data"], "seg": batch["seg"]}
+            else:
+                out = augment_batch(batch, self.params, rng,
+                                    validation=self.validation)
             while not self._stop.is_set():
                 try:
                     self.queue.put(out, timeout=0.5)

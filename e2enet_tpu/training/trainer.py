@@ -57,7 +57,8 @@ class TPUTrainer:
                  dummy_load: bool = False,
                  profile_dir: Optional[str] = None,
                  num_devices: Optional[int] = None,
-                 spatial_parallel: int = 1):
+                 spatial_parallel: int = 1,
+                 device_augment: bool = False):
         self.plans = plans
         self.fold = fold
         self.stage = stage
@@ -90,6 +91,7 @@ class TPUTrainer:
         self.profile_dir = profile_dir
         self.num_devices = num_devices
         self.spatial_parallel = spatial_parallel
+        self.device_augment = device_augment
         self.oversample_foreground_percent = 0.33
 
         self.stage_plan = plans.plans_per_stage[stage]
@@ -178,6 +180,18 @@ class TPUTrainer:
             self.mask_update = make_mask_update_step(
                 self.dsff_config.growth)
 
+        if self.device_augment:
+            from ..ops.device_augment import make_device_augmenter
+            self._aug_key = jax.random.PRNGKey(self.seed + 7)
+            self.device_aug = make_device_augmenter(
+                tuple(int(i) for i in self.patch_size),
+                tuple(int(i) for i in self.basic_generator_patch_size),
+                self.num_classes, self.ds_scales,
+                do_mirror=self.da_params.do_mirror,
+                do_rotation=self.da_params.do_rotation,
+                do_scaling=self.da_params.do_scaling,
+                do_gamma=self.da_params.do_gamma)
+
         if training:
             self._setup_generators()
         self.was_initialized = True
@@ -254,7 +268,8 @@ class TPUTrainer:
         self.tr_gen = BatchPipeline(sampler_tr, self.da_params,
                                     validation=False,
                                     num_threads=self.num_da_threads,
-                                    seed=self.seed)
+                                    seed=self.seed,
+                                    raw=self.device_augment)
         val_params = AugmentParams(
             patch_size=tuple(int(i) for i in self.patch_size),
             mask_was_used_for_normalization=self.plans.use_mask_for_norm,
@@ -299,7 +314,13 @@ class TPUTrainer:
     def run_iteration(self, gen, lr, do_backprop=True,
                       run_online_evaluation=False):
         batch = next(gen)
-        data, targets = self._to_device(batch)
+        if do_backprop and self.device_augment:
+            data = jnp.asarray(np.moveaxis(batch["data"], 1, -1))
+            seg = jnp.asarray(batch["seg"][:, 0])
+            self._aug_key, sub = jax.random.split(self._aug_key)
+            data, targets = self.device_aug(sub, data, seg)
+        else:
+            data, targets = self._to_device(batch)
         if do_backprop:
             self.state, metrics = self.train_step(self.state, data, targets,
                                                   jnp.float32(lr))

@@ -348,3 +348,68 @@ def test_dataset_converters(tmp_path, monkeypatch):
     conv = read_nifti(os.path.join(out, "labelsTr",
                                    "BraTS20_Training_001.nii.gz")).array
     assert conv[0, 0, 0] == 3 and conv[1, 1, 1] == 1
+
+
+def test_device_augmenter():
+    from e2enet_tpu.ops.device_augment import make_device_augmenter
+    rng = np.random.RandomState(0)
+    B, C = 2, 1
+    in_patch, patch = (12, 14, 14), (8, 8, 8)
+    data = jnp.asarray(rng.randn(B, *in_patch, C).astype(np.float32))
+    seg = jnp.asarray(rng.randint(-1, 3, (B, *in_patch)).astype(np.float32))
+    aug = make_device_augmenter(patch, in_patch, 3,
+                                [[1, 1, 1], [.5, .5, .5]])
+    d, targets = aug(jax.random.PRNGKey(0), data, seg)
+    assert d.shape == (B, *patch, C)
+    assert targets[0].shape == (B, *patch)
+    assert targets[1].shape == (B, 4, 4, 4)
+    assert int(jnp.min(targets[0])) >= 0          # -1 relabeled
+    assert int(jnp.max(targets[0])) <= 2
+    assert bool(jnp.all(jnp.isfinite(d)))
+    # deterministic per key, different across keys
+    d2, _ = aug(jax.random.PRNGKey(0), data, seg)
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d2))
+    d3, _ = aug(jax.random.PRNGKey(1), data, seg)
+    assert not np.allclose(np.asarray(d), np.asarray(d3))
+
+
+def test_device_augment_trainer_smoke(tmp_path):
+    from e2enet_tpu.plans import Plans, StagePlan
+    from e2enet_tpu.training.trainer import TPUTrainer
+    sp = StagePlan(batch_size=2, num_pool_per_axis=[2, 2, 2],
+                   patch_size=[8, 16, 16],
+                   median_patient_size_in_voxels=[8, 16, 16],
+                   current_spacing=[1, 1, 1], original_spacing=[1, 1, 1],
+                   do_dummy_2D_data_aug=False,
+                   pool_op_kernel_sizes=[[2, 2, 2]] * 2,
+                   conv_kernel_sizes=[[3, 3, 3]] * 3)
+    plans = Plans(num_stages=1, num_modalities=1, modalities={0: "MR"},
+                  normalization_schemes={0: "nonCT"}, dataset_properties={},
+                  list_of_npz_files=[], original_spacings=[],
+                  original_sizes=[], preprocessed_data_folder=None,
+                  num_classes=2, all_classes=[1, 2], base_num_features=8,
+                  use_mask_for_norm={0: False},
+                  keep_only_largest_region=None,
+                  min_region_size_per_class=None, min_size_per_class=None,
+                  transpose_forward=[0, 1, 2], transpose_backward=[0, 1, 2],
+                  data_identifier="t", plans_per_stage={0: sp})
+    tr = TPUTrainer(plans, 0, str(tmp_path), max_num_epochs=1,
+                    num_batches_per_epoch=2, num_val_batches_per_epoch=0,
+                    base_num_features=4, fp16=False, dummy_load=True,
+                    device_augment=True)
+    tr.initialize(True)
+    # dummy_load yields pre-augmented batches; exercise the device-augment
+    # branch directly with a raw-style batch
+    rng = np.random.RandomState(0)
+    basic = tr.basic_generator_patch_size
+    batch = {"data": rng.randn(2, 1, *[int(i) for i in basic])
+             .astype(np.float32),
+             "seg": rng.randint(-1, 3, (2, 1, *[int(i) for i in basic]))
+             .astype(np.float32)}
+    gen = iter([batch])
+
+    class G:
+        def __next__(self):
+            return batch
+    loss = tr.run_iteration(G(), 1e-2, True)
+    assert np.isfinite(np.asarray(loss))
