@@ -28,6 +28,7 @@ class ShiftUNet(nn.Module):
     num_conv_per_stage: int = 2
     shift_size: int = 3
     do_shift: bool = True
+    remat: bool = True
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -61,21 +62,23 @@ class ShiftUNet(nn.Module):
         x = x.astype(cd)
         common = dict(shift_size=self.shift_size, do_shift=self.do_shift,
                       compute_dtype=cd)
+        Stack = (nn.remat(StackedConvBlocks, static_argnums=())
+                 if self.remat else StackedConvBlocks)
 
         skips = []
         h = x
         for d in range(P):
             stride = pools[d - 1] if d > 0 else (1, 1, 1)
-            h = StackedConvBlocks(features=enc[d],
+            h = Stack(features=enc[d],
                                   num_convs=self.num_conv_per_stage,
                                   first_stride=stride,
                                   name=f"context{d}", **common)(h)
             skips.append(h)
-        h = StackedConvBlocks(features=enc[P],
+        h = Stack(features=enc[P],
                               num_convs=self.num_conv_per_stage - 1,
                               first_stride=pools[P - 1],
                               name=f"context{P}a", **common)(h)
-        h = StackedConvBlocks(features=enc[P], num_convs=1,
+        h = Stack(features=enc[P], num_convs=1,
                               name=f"context{P}b", **common)(h)
 
         seg_outputs = []
@@ -83,10 +86,10 @@ class ShiftUNet(nn.Module):
             up = TranspConv(features=enc[lvl], stride=pools[lvl],
                             compute_dtype=cd, name=f"up_{u}")(h)
             h = jnp.concatenate([up, skips[lvl]], axis=-1)
-            h = StackedConvBlocks(features=enc[lvl],
+            h = Stack(features=enc[lvl],
                                   num_convs=self.num_conv_per_stage - 1,
                                   name=f"loc_{u}", **common)(h)
-            h = StackedConvBlocks(features=enc[lvl], num_convs=1,
+            h = Stack(features=enc[lvl], num_convs=1,
                                   name=f"loc_{u}_final", **common)(h)
             seg_outputs.append(SegHead(num_classes=self.num_classes,
                                        compute_dtype=cd,

@@ -221,3 +221,20 @@ def test_continue_training_and_ensemble(synth_env):
     # mean of identical softmax == the softmax (modulo fp16 storage + order-3
     # vs order-1 resample of the ensemble path) — labels should mostly agree
     assert (a == b).mean() > 0.95
+
+
+def test_tconv_ori_and_nodff(synth_env):
+    """The plain-decoder family ('ori' Generic_UNet equivalent and the
+    nodff ablation) trains and predicts end-to-end."""
+    from e2enet_tpu.cli import train, predict
+    for tconv in ("ori", "shiftConvPP_nodff"):
+        train.main(["--task", "99", "--fold", "1", "--Tconv", tconv,
+                    "--epochs", "1", "--batches", "2", "--val_batches", "1",
+                    "--base_features", "8", "--fp32"])
+        out_dir = synth_env["base"] / f"preds_{tconv}"
+        predict.main(["-i", str(synth_env["task_dir"] / "imagesTs"),
+                      "-o", str(out_dir), "-t", "99", "-f", "1",
+                      "--Tconv", tconv, "--disable_postprocessing",
+                      "--mode", "fast"])
+        pred = read_nifti(str(out_dir / "spheretest_000.nii.gz"))
+        assert pred.array.shape == SHAPE
