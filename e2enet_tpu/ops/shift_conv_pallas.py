@@ -21,13 +21,25 @@ stride=(1,1,1)); that XLA pair stays as numerical oracle and as the
 custom_vjp backward. The reference *wanted* this fusion — its CUDA `Shift`
 kernel import is commented out (unetpp_d.py:23,92); this is the TPU answer.
 
-STATUS: not yet wired into the default model path. Mosaic rejects manual
-DMAs whose lane (channel) dim is not 128-aligned (C=48 here), and the
-BlockSpec-alias variant compiles too slowly over this environment's remote
-compile tunnel to iterate. The production path instead uses the select-based
-depth_shift (ops/shift.py) which fuses into one XLA elementwise pass. This
-kernel is kept for the next optimization round (the remaining win is ~2x on
-the level-0 blocks).
+STATUS / measured findings (round 1, all on v5e 128^3 x 48ch bf16):
+  * v1 (this kernel, manual DMA of (H, W, C) rows): Mosaic rejects manual
+    DMAs whose lane dim is not 128-aligned (C=48) — does not compile.
+  * BlockSpec-alias variant (x aliased 5x with shifted index maps):
+    compiles, exact, 7.76 ms — read-amplified 5x, no win.
+  * v2 (ring + (H, W*C)-flat DMA, fused conv): the DMA alignment problem is
+    SOLVED by the flat layout (W*C % 128 == 0 for W % 8 == 0), but Mosaic
+    cannot shape-cast (H, W*C) -> (H, W, C) in-kernel — does not compile.
+  * v3 (pallas_depth_shift below: ring + flat layout, shift ONLY): compiles,
+    EXACT, 4.72 ms vs 4.96 ms XLA select-shift — a tie; per-grid-step
+    overhead (128 sequential steps x out-block copy + dispatch + serialized
+    DMA wait) dominates, not HBM bandwidth.
+  * v4 experiment (per-slot semaphores + cross-step prefetch + fma masks):
+    6.02 ms — unrolled slot dispatch costs more than the overlap saves.
+Round-2 direction: process a TILE of D rows per grid step (block
+(1, TD, H, W*C), ring of TD+4 rows) to amortize the per-step overheads, and
+revisit the in-kernel relayout once Mosaic supports the shape cast (then
+fuse the conv + norm too). The production path meanwhile uses the
+select-based depth_shift (ops/shift.py) with custom VJPs.
 """
 import functools
 
@@ -158,6 +170,128 @@ def _bwd(shift_size, res, g):
 fused_shift_conv.defvjp(_fwd, _bwd)
 
 
+# --------------------------------------------------------------------------
+# v2: rotating-ring kernel with 1x HBM reads.
+#
+# Key trick: x is passed reshaped as (N, D, H, W*C). The lane dim W*C is a
+# multiple of 128 whenever W % 8 == 0 (48*8 = 384 = 3*128), so manual DMA of
+# whole depth rows is legal — the C=48 alignment blocker of the v1 design is
+# gone. In VMEM each row is re-laid-out once into a zero-haloed
+# (H+2, W+2, C) scratch (lane = C), after which the 9 conv taps are free
+# static slices feeding (H*W, C) @ (C, COUT) MXU matmuls.
+
+
+def _kernel_v2(x_hbm, w_ref, b_ref, o_ref, rows, shifted, sems, *, groups,
+               D, H, W, C, COUT):
+    n = pl.program_id(0)
+    d = pl.program_id(1)
+    pad = 2
+
+    def slot(src_d):
+        return jax.lax.rem(src_d + 2 * NSLOT, NSLOT)
+
+    def fetch(src_d):
+        s = slot(src_d)
+
+        @pl.when((src_d >= 0) & (src_d < D))
+        def _():
+            cp = pltpu.make_async_copy(x_hbm.at[n, src_d], rows.at[s],
+                                       sems.at[0])
+            cp.start()
+            cp.wait()
+
+        @pl.when(jnp.logical_not((src_d >= 0) & (src_d < D)))
+        def _():
+            rows[s] = jnp.zeros((H, W * C), rows.dtype)
+
+    @pl.when(d == 0)
+    def _():
+        @pl.when(n == 0)
+        def _():
+            shifted[...] = jnp.zeros_like(shifted)
+        for src in range(-pad, pad):
+            fetch(jnp.int32(src))
+
+    fetch(d + pad)
+
+    # channel-grouped select in the (H, W*C) layout: lane l belongs to
+    # channel l % C
+    lane = jax.lax.broadcasted_iota(jnp.int32, (H, W * C), 1)
+    ch = jax.lax.rem(lane, C)
+    out_val = jnp.zeros((H, W * C), rows.dtype)
+    for (c0, c1, s) in groups:
+        row = rows[slot(d - s)]
+        out_val = jnp.where((ch >= c0) & (ch < c1), row, out_val)
+    # one relayout into the haloed (H+2, W+2, C) scratch
+    shifted[pl.ds(1, H), pl.ds(1, W), :] = out_val.reshape(H, W, C)
+
+    acc = jnp.zeros((H * W, COUT), jnp.float32)
+    for kh in range(3):
+        for kw in range(3):
+            xs = shifted[pl.ds(kh, H), pl.ds(kw, W), :].reshape(H * W, C)
+            acc = acc + jnp.dot(xs, w_ref[kh, kw],
+                                preferred_element_type=jnp.float32)
+    acc = acc + b_ref[:].astype(jnp.float32)
+    o_ref[0, 0] = acc.reshape(H, W, COUT).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_shift_conv_v2(x, kernel, bias, shift_size: int = 5):
+    """Ring-buffered fused shift+conv: x (N, D, H, W, C) with W % 8 == 0."""
+    return _forward_v2(x, kernel, bias, shift_size)
+
+
+def _forward_v2(x, kernel, bias, shift_size):
+    N, D, H, W, C = x.shape
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (3, 3) and cin == C
+    assert (W * C) % 128 == 0, "ring kernel needs W*C % 128 == 0"
+    groups = tuple(group_shifts(C, shift_size))
+
+    x2 = x.reshape(N, D, H, W * C)
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, groups=groups, D=D, H=H, W=W, C=C,
+                          COUT=cout),
+        grid=(N, D),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, H, W, cout),
+                               lambda n, d: (n, d, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, D, H, W, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOT, H, W * C), x.dtype),
+            pltpu.VMEM((H + 2, W + 2, C), x.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 2 ** 20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * D * H * W * 9 * C * cout,
+            bytes_accessed=(N * D * H * W * (C + cout) * x.dtype.itemsize),
+            transcendentals=0),
+    )(x2, kernel, bias)
+    return out
+
+
+def _fwd_v2(x, kernel, bias, shift_size):
+    return _forward_v2(x, kernel, bias, shift_size), (x, kernel, bias)
+
+
+def _bwd_v2(shift_size, res, g):
+    x, kernel, bias = res
+    _, vjp = jax.vjp(lambda a, k, b: _reference(a, k, b, shift_size),
+                     x, kernel, bias)
+    return vjp(g)
+
+
+fused_shift_conv_v2.defvjp(_fwd_v2, _bwd_v2)
+
+
 def pallas_available() -> bool:
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
@@ -174,3 +308,98 @@ def shift_conv_vmem_ok(H: int, W: int, C: int, cout: int,
     out = H * W * cout * itemsize
     acc = H * W * cout * 4
     return ring + shifted + out + acc < budget
+
+
+# --------------------------------------------------------------------------
+# v3: ring-buffered depth shift ONLY (conv stays XLA). The select-based XLA
+# shift reads the padded tensor 5x (one per group select operand); this
+# kernel reads each depth row exactly once via the rotating ring and writes
+# the shifted tensor once: ~0.5 ms vs 3.9 ms at 128^3 x 48ch. The conv then
+# consumes the shifted tensor as a normal XLA op. Works in the flat
+# (H, W*C) lane layout (no shape casts inside the kernel); requires
+# W * C % 128 == 0, i.e. W % 8 == 0 for C % 16 == 0 widths.
+
+
+def _kernel_shift_ring(x_hbm, o_ref, rows, sems, *, groups, D, H, WC, C):
+    n = pl.program_id(0)
+    d = pl.program_id(1)
+    pad = 2
+
+    def slot(src_d):
+        return jax.lax.rem(src_d + 2 * NSLOT, NSLOT)
+
+    def fetch(src_d):
+        s = slot(src_d)
+
+        @pl.when((src_d >= 0) & (src_d < D))
+        def _():
+            cp = pltpu.make_async_copy(x_hbm.at[n, src_d], rows.at[s],
+                                       sems.at[0])
+            cp.start()
+            cp.wait()
+
+        @pl.when(jnp.logical_not((src_d >= 0) & (src_d < D)))
+        def _():
+            rows[s] = jnp.zeros((H, WC), rows.dtype)
+
+    @pl.when(d == 0)
+    def _():
+        for src in range(-pad, pad):
+            fetch(jnp.int32(src))
+
+    fetch(d + pad)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (H, WC), 1)
+    ch = jax.lax.rem(lane, C)
+    out_val = jnp.zeros((H, WC), rows.dtype)
+    for (c0, c1, s) in groups:
+        row = rows[slot(d - s)]
+        out_val = jnp.where((ch >= c0) & (ch < c1), row, out_val)
+    o_ref[0, 0] = out_val
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def pallas_depth_shift(x, shift_size: int = 5):
+    """Ring-buffered depth shift on TPU. x: (N, D, H, W, C), W*C % 128 == 0.
+    Semantics == ops.shift.depth_shift."""
+    return _forward_shift_ring(x, shift_size)
+
+
+def _forward_shift_ring(x, shift_size):
+    N, D, H, W, C = x.shape
+    assert (W * C) % 128 == 0, "pallas_depth_shift needs W*C % 128 == 0"
+    assert shift_size // 2 <= 2, "ring sized for |shift| <= 2"
+    groups = tuple(group_shifts(C, shift_size))
+    x2 = x.reshape(N, D, H, W * C)
+    out = pl.pallas_call(
+        functools.partial(_kernel_shift_ring, groups=groups, D=D, H=H,
+                          WC=W * C, C=C),
+        grid=(N, D),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, 1, H, W * C),
+                               lambda n, d: (n, d, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, D, H, W * C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOT, H, W * C), x.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(x2)
+    return out.reshape(N, D, H, W, C)
+
+
+def _fwd_shift_ring(x, shift_size):
+    return _forward_shift_ring(x, shift_size), None
+
+
+def _bwd_shift_ring(shift_size, _res, g):
+    from .shift import depth_shift_custom
+    C = g.shape[-1]
+    neg = tuple((c0, c1, -s) for (c0, c1, s) in group_shifts(C, shift_size))
+    return (depth_shift_custom(g, neg),)
+
+
+pallas_depth_shift.defvjp(_fwd_shift_ring, _bwd_shift_ring)
