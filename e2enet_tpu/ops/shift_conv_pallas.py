@@ -35,11 +35,16 @@ STATUS / measured findings (round 1, all on v5e 128^3 x 48ch bf16):
     DMA wait) dominates, not HBM bandwidth.
   * v4 experiment (per-slot semaphores + cross-step prefetch + fma masks):
     6.02 ms — unrolled slot dispatch costs more than the overlap saves.
-Round-2 direction: process a TILE of D rows per grid step (block
-(1, TD, H, W*C), ring of TD+4 rows) to amortize the per-step overheads, and
-revisit the in-kernel relayout once Mosaic supports the shape cast (then
-fuse the conv + norm too). The production path meanwhile uses the
-select-based depth_shift (ops/shift.py) with custom VJPs.
+  * D-tiled variant (TD=8 rows/step, 16 steps): 5.61 ms — per-step
+    overhead was NOT the bottleneck; the 5-way select/fma chain on the VPU
+    plus VMEM ring reads are the structural cost of ANY shift-materializing
+    approach.
+CONCLUSION: materializing the shift cannot go much below ~4-5 ms on this
+part; the only way to win is to NOT materialize it — i.e. the fully fused
+block (shift+conv+norm), which needs the (H, W*C) -> (H, W, C) in-kernel
+relayout (Mosaic shape-cast unsupported today) or a conv formulated
+directly in the flat layout. The production path uses the select-based
+depth_shift (ops/shift.py) with custom VJPs.
 """
 import functools
 
