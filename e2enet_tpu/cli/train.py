@@ -113,7 +113,6 @@ def main(args=None):
     cascade = a.network == "3d_cascade_fullres"
     from ..training.variants import resolve_variant
     preset = resolve_variant(a.trainer_variant)
-    preset.pop("optimizer", None)   # ranger preset: not yet a trainer knob
     kwargs = dict(
         stage=stage, batch_dice=batch_dice, tconv=a.Tconv, cascade=cascade,
         max_num_epochs=a.epochs, num_batches_per_epoch=a.batches,
@@ -125,7 +124,7 @@ def main(args=None):
     kwargs.update({k: v for k, v in preset.items()
                    if k in ("max_num_epochs", "loss_name", "momentum",
                             "initial_lr", "da_level", "dummy_load", "fp16",
-                            "cascade")})
+                            "cascade", "optimizer")})
     if "da" in preset:
         kwargs["da_level"] = preset["da"]
     if "loss" in preset:

@@ -19,9 +19,11 @@ class RangerState(NamedTuple):
 
 def ranger_init(params) -> RangerState:
     z = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+    # jnp.copy, not asarray: slow must be a distinct buffer from params or
+    # jit donation of the train state donates the same buffer twice
     return RangerState(step=jnp.zeros((), jnp.int32), exp_avg=z(),
                        exp_avg_sq=z(),
-                       slow=jax.tree_util.tree_map(jnp.asarray, params))
+                       slow=jax.tree_util.tree_map(jnp.copy, params))
 
 
 def ranger_update(params, state: RangerState, grads, lr,

@@ -14,7 +14,7 @@ Precision: params float32, network compute bfloat16 (reference trains fp16
 autocast + GradScaler; bf16 needs no loss scaling on TPU), loss/grad-norm
 math float32.
 """
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -31,16 +31,25 @@ WEIGHT_DECAY = 3e-5
 @struct.dataclass
 class TrainState:
     params: Any
-    momentum: Any
+    momentum: Any             # SGD momentum tree, or RangerState/AdamState
     masks: Any                # dict path-tuple -> (in,out) mask, or None
     rng: jax.Array
     step: jnp.ndarray         # int32 global step
 
 
-def create_train_state(params, masks=None, seed: int = 0) -> TrainState:
-    momentum = jax.tree_util.tree_map(jnp.zeros_like, params)
+def create_train_state(params, masks=None, seed: int = 0,
+                       optimizer: str = "sgd") -> TrainState:
     if masks is not None:
         params = dsff.apply_masks(params, masks)
+    if optimizer == "sgd":
+        momentum = jax.tree_util.tree_map(jnp.zeros_like, params)
+    elif optimizer == "ranger":
+        from .ranger import ranger_init
+        momentum = ranger_init(params)
+    elif optimizer == "adam":
+        momentum = adam_init(params)
+    else:
+        raise ValueError(f"unknown optimizer '{optimizer}'")
     return TrainState(params=params, momentum=momentum, masks=masks,
                       rng=jax.random.PRNGKey(seed),
                       step=jnp.asarray(0, jnp.int32))
@@ -71,14 +80,69 @@ def sgd_nesterov_update(params, momentum, grads, lr,
     return new_params, new_momentum
 
 
+class AdamState(NamedTuple):
+    step: jnp.ndarray
+    exp_avg: Any
+    exp_avg_sq: Any
+    max_exp_avg_sq: Any
+
+
+def adam_init(params) -> AdamState:
+    z = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+    return AdamState(step=jnp.zeros((), jnp.int32), exp_avg=z(),
+                     exp_avg_sq=z(), max_exp_avg_sq=z())
+
+
+def adam_update(params, state: AdamState, grads, lr, betas=(0.9, 0.999),
+                eps: float = 1e-8, weight_decay: float = 0.0):
+    """torch.optim.Adam(amsgrad=True) semantics (L2 weight decay added to
+    the gradient) — nnUNetTrainerV2_Adam.py:23."""
+    b1, b2 = betas
+    step = state.step + 1
+    tf = step.astype(jnp.float32)
+    tm = jax.tree_util.tree_map
+    g_wd = tm(lambda g, p: g.astype(jnp.float32) + weight_decay * p,
+              grads, params)
+    exp_avg = tm(lambda m, g: b1 * m + (1 - b1) * g, state.exp_avg, g_wd)
+    exp_avg_sq = tm(lambda v, g: b2 * v + (1 - b2) * g * g,
+                    state.exp_avg_sq, g_wd)
+    max_sq = tm(jnp.maximum, state.max_exp_avg_sq, exp_avg_sq)
+    bc1 = 1 - b1 ** tf
+    bc2 = 1 - b2 ** tf
+    new_params = tm(
+        lambda p, m, v: p - (lr / bc1) * m / (jnp.sqrt(v / bc2) + eps),
+        params, exp_avg, max_sq)
+    return new_params, AdamState(step=step, exp_avg=exp_avg,
+                                 exp_avg_sq=exp_avg_sq, max_exp_avg_sq=max_sq)
+
+
+def mask_opt_state(opt_state, masks):
+    """Apply DSFF masks to optimizer state (the analogue of the reference's
+    momentum-buffer zeroing, core_channel.py:427-434) for any optimizer."""
+    if masks is None:
+        return opt_state
+    if isinstance(opt_state, tuple) and hasattr(opt_state, "_fields"):
+        masked = {f: (dsff.apply_masks(v, masks)
+                      if isinstance(v, dict) else v)
+                  for f, v in zip(opt_state._fields, opt_state)}
+        return type(opt_state)(**masked)
+    return dsff.apply_masks(opt_state, masks)
+
+
 def make_train_step(model, ds_weights, batch_dice: bool = True,
                     donate: bool = True, jit_compile: bool = True,
                     loss_name: str = "dc_ce", momentum: float = MOMENTUM,
-                    weight_decay: float = WEIGHT_DECAY):
+                    weight_decay: float = WEIGHT_DECAY,
+                    optimizer: str = "sgd"):
     """Returns jitted train_step(state, data, targets, lr) ->
     (state, metrics). data: (B, D, H, W, C) f32; targets: tuple of int32
-    arrays per DS level."""
+    arrays per DS level. optimizer: 'sgd' (nesterov, reference default) |
+    'ranger' (nnUNetTrainerV2_Ranger_*) | 'adam' (nnUNetTrainerV2_Adam*);
+    state.momentum must have been created by create_train_state with the
+    same optimizer."""
     weights = [float(w) for w in ds_weights]
+    if optimizer not in ("sgd", "ranger", "adam"):
+        raise ValueError(f"unknown optimizer '{optimizer}'")
 
     def loss_fn(params, data, targets):
         # params are kept masked invariantly (create_train_state + the
@@ -96,12 +160,22 @@ def make_train_step(model, ds_weights, batch_dice: bool = True,
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, data, targets)
         grads, gnorm = clip_by_global_norm(grads, GRAD_CLIP_NORM)
-        new_params, new_momentum = sgd_nesterov_update(
-            state.params, state.momentum, grads, lr,
-            weight_decay=weight_decay, mom=momentum)
+        if optimizer == "sgd":
+            new_params, new_momentum = sgd_nesterov_update(
+                state.params, state.momentum, grads, lr,
+                weight_decay=weight_decay, mom=momentum)
+        elif optimizer == "ranger":
+            from .ranger import ranger_update
+            new_params, new_momentum = ranger_update(
+                state.params, state.momentum, grads, lr,
+                weight_decay=weight_decay)
+        else:  # adam
+            new_params, new_momentum = adam_update(
+                state.params, state.momentum, grads, lr,
+                weight_decay=weight_decay)
         if state.masks is not None:
             new_params = dsff.apply_masks(new_params, state.masks)
-            new_momentum = dsff.apply_masks(new_momentum, state.masks)
+            new_momentum = mask_opt_state(new_momentum, state.masks)
         new_state = state.replace(params=new_params, momentum=new_momentum,
                                   step=state.step + 1)
         return new_state, {"loss": loss, "grad_norm": gnorm}
@@ -138,7 +212,7 @@ def make_mask_update_step(growth_mode: str = "random"):
             state.params, grads, state.masks, sub, death_rate,
             growth_mode=growth_mode)
         params = dsff.apply_masks(state.params, new_masks)
-        momentum = dsff.apply_masks(state.momentum, new_masks)
+        momentum = mask_opt_state(state.momentum, new_masks)
         return state.replace(params=params, momentum=momentum,
                              masks=new_masks, rng=rng)
 

@@ -53,6 +53,7 @@ class TPUTrainer:
                  seed: int = 0, num_da_threads: int = 1,
                  base_num_features: int = 48, cascade: bool = False,
                  loss_name: str = "dc_ce", momentum: float = 0.99,
+                 optimizer: str = "sgd",
                  initial_lr: float = 1e-2, da_level: Optional[str] = None,
                  dummy_load: bool = False,
                  profile_dir: Optional[str] = None,
@@ -86,6 +87,7 @@ class TPUTrainer:
         self.initial_lr = initial_lr
         self.loss_name = loss_name
         self.momentum = momentum
+        self.optimizer = optimizer
         self.da_level = da_level
         self.dummy_load = dummy_load
         self.profile_dir = profile_dir
@@ -148,7 +150,8 @@ class TPUTrainer:
                                     jax.random.PRNGKey(self.seed + 1),
                                     mode=mode)
             self.t_max = self.max_num_epochs * self.num_batches_per_epoch
-        self.state = create_train_state(params, masks, seed=self.seed)
+        self.state = create_train_state(params, masks, seed=self.seed,
+                                        optimizer=self.optimizer)
 
         self.mesh = None
         n_dev = self.num_devices or 1
@@ -164,7 +167,8 @@ class TPUTrainer:
                                   spatial_parallel=self.spatial_parallel)
             self.train_step = make_sharded_train_step(
                 self.network, self.ds_weights, self.mesh, self.batch_dice,
-                loss_name=self.loss_name, momentum=self.momentum)
+                loss_name=self.loss_name, momentum=self.momentum,
+                optimizer=self.optimizer)
             from ..parallel.mesh import replicate_state
             self.state = replicate_state(self.mesh, self.state)
             self.logger.log(f"multi-device training: mesh={self.mesh.shape}")
@@ -172,7 +176,8 @@ class TPUTrainer:
             self.train_step = make_train_step(self.network, self.ds_weights,
                                               self.batch_dice,
                                               loss_name=self.loss_name,
-                                              momentum=self.momentum)
+                                              momentum=self.momentum,
+                                              optimizer=self.optimizer)
         self.eval_step = make_eval_step(self.network, self.ds_weights,
                                         self.batch_dice,
                                         loss_name=self.loss_name)

@@ -26,8 +26,16 @@ VARIANTS: Dict[str, Dict[str, Any]] = {
     # --- optimizer / momentum (nnUNet_variants/optimizer_and_lr/*)
     "nnUNetTrainerV2_Ranger_lr3en4": {"optimizer": "ranger",
                                       "initial_lr": 3e-4},
+    "nnUNetTrainerV2_Ranger_lr3en3": {"optimizer": "ranger",
+                                      "initial_lr": 3e-3},
+    "nnUNetTrainerV2_Ranger_lr1en2": {"optimizer": "ranger",
+                                      "initial_lr": 1e-2},
+    "nnUNetTrainerV2_Adam": {"optimizer": "adam"},
+    "nnUNetTrainerV2_Adam_lr_3en4": {"optimizer": "adam",
+                                     "initial_lr": 3e-4},
     "nnUNetTrainerV2_momentum09": {"momentum": 0.9},
     "nnUNetTrainerV2_momentum095": {"momentum": 0.95},
+    "nnUNetTrainerV2_momentum098": {"momentum": 0.98},
     "nnUNetTrainerV2_SGD_lr1en1": {"initial_lr": 1e-1},
     "nnUNetTrainerV2_SGD_lr1en3": {"initial_lr": 1e-3},
     # --- data augmentation levels (nnUNet_variants/data_augmentation/*)
