@@ -41,6 +41,11 @@ def main(args=None):
     parser.add_argument("--disable_postprocessing", action="store_true")
     parser.add_argument("--mode", default="normal",
                         choices=["normal", "fast", "fastest"])
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help="shard each volume's tile grid over this many "
+                             "chips of a jax mesh (single process; the TPU "
+                             "answer to the reference's --num_parts "
+                             "multi-process sharding)")
     a = parser.parse_args(args)
 
     task = a.task_name
@@ -68,7 +73,8 @@ def main(args=None):
             checkpoint_name=a.checkpoint_name, tconv=a.Tconv,
             part_id=a.part_id, num_parts=a.num_parts,
             overwrite_existing=bool(a.overwrite_existing),
-            disable_postprocessing=True, mode="fast")
+            disable_postprocessing=True, mode="fast",
+            num_devices=a.num_devices)
         segs_prev = lowres_folder
 
     predict_from_folder(
@@ -78,7 +84,7 @@ def main(args=None):
         part_id=a.part_id, num_parts=a.num_parts,
         overwrite_existing=bool(a.overwrite_existing),
         disable_postprocessing=a.disable_postprocessing, mode=a.mode,
-        segs_from_prev_stage_folder=segs_prev)
+        segs_from_prev_stage_folder=segs_prev, num_devices=a.num_devices)
 
 
 if __name__ == "__main__":

@@ -21,7 +21,8 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.sliding import make_tiled_predictor, predict_volume_tiled
+from ..ops.sliding import (make_tiled_predictor, make_tiled_predictor_sharded,
+                           predict_volume_tiled)
 from ..plans import Plans
 from ..preprocessing.preprocessor import GenericPreprocessor
 from ..models.unetpp import build_network
@@ -130,26 +131,48 @@ def append_prev_stage_onehot(data: np.ndarray, out_file: str,
     return np.concatenate([data, onehot], axis=0)
 
 
+def _make_mesh(num_devices: int):
+    import jax
+    from jax.sharding import Mesh
+    devs = jax.devices()[:num_devices]
+    assert len(devs) == num_devices, (
+        f"requested {num_devices} devices, only {len(jax.devices())} present")
+    return Mesh(np.array(devs), ("data",))
+
+
 def predict_case(bundle: ModelBundle, data: np.ndarray,
                  do_tta: bool = True, step_size: float = 0.5,
-                 predictor_cache: Optional[dict] = None) -> np.ndarray:
-    """Fold-ensemble softmax for preprocessed data (C, X, Y, Z)."""
+                 predictor_cache: Optional[dict] = None,
+                 num_devices: int = 1) -> np.ndarray:
+    """Fold-ensemble softmax for preprocessed data (C, X, Y, Z).
+
+    num_devices > 1 shards the TILE list of every volume over a device mesh
+    (ops/sliding.make_tiled_predictor_sharded) — the TPU answer to the
+    reference's per-process case sharding (predict.py:745): every chip works
+    on the same case, so single-case latency drops too."""
     apply_fn = lambda params, x: bundle.network.apply(
         {"params": params}, x, do_ds=False)
-    key = (bundle.patch_size, do_tta)
+    key = (bundle.patch_size, do_tta, num_devices)
     if predictor_cache is not None and key in predictor_cache:
         predictor = predictor_cache[key]
     else:
-        predictor = make_tiled_predictor(
-            apply_fn, bundle.patch_size, bundle.num_classes,
-            mirror_axes=(0, 1, 2), do_mirroring=do_tta)
+        if num_devices > 1:
+            predictor = make_tiled_predictor_sharded(
+                apply_fn, bundle.patch_size, bundle.num_classes,
+                _make_mesh(num_devices), mirror_axes=(0, 1, 2),
+                do_mirroring=do_tta)
+        else:
+            predictor = make_tiled_predictor(
+                apply_fn, bundle.patch_size, bundle.num_classes,
+                mirror_axes=(0, 1, 2), do_mirroring=do_tta)
         if predictor_cache is not None:
             predictor_cache[key] = predictor
     softmax_sum = None
     for params in bundle.fold_params:
         probs = predict_volume_tiled(
             apply_fn, params, data, bundle.patch_size, bundle.num_classes,
-            step_size=step_size, do_mirroring=do_tta, predictor=predictor)
+            step_size=step_size, do_mirroring=do_tta, predictor=predictor,
+            min_tile_multiple=num_devices)
         softmax_sum = probs if softmax_sum is None else softmax_sum + probs
     return softmax_sum / len(bundle.fold_params)
 
@@ -163,7 +186,8 @@ def predict_from_folder(model_folder: str, input_folder: str,
                         overwrite_existing: bool = True,
                         disable_postprocessing: bool = False,
                         mode: str = "normal",
-                        segs_from_prev_stage_folder: Optional[str] = None):
+                        segs_from_prev_stage_folder: Optional[str] = None,
+                        num_devices: int = 1):
     """mode (reference predict_cases/_fast/_fastest, predict.py:194,362,514):
       normal : resample the full softmax back to original geometry (order 1)
       fast   : argmax at network resolution, resample the label map only
@@ -238,7 +262,8 @@ def predict_from_folder(model_folder: str, input_folder: str,
         print("predicting", os.path.basename(ofile))
         softmax = predict_case(bundle, data, do_tta=do_tta,
                                step_size=step_size,
-                               predictor_cache=predictor_cache)
+                               predictor_cache=predictor_cache,
+                               num_devices=num_devices)
         transpose_backward = bundle.plans.transpose_backward
         softmax = softmax.transpose(
             [0] + [int(i) + 1 for i in transpose_backward])

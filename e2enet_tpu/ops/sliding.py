@@ -299,7 +299,8 @@ def predict_volume_tiled(apply_fn, params, data: np.ndarray,
                          mirror_axes: Tuple[int, ...] = (0, 1, 2),
                          do_mirroring: bool = True,
                          use_gaussian: bool = True,
-                         predictor=None) -> np.ndarray:
+                         predictor=None,
+                         min_tile_multiple: int = 1) -> np.ndarray:
     """Host orchestration: pad, build the step grid, run the jitted program,
     normalize, un-pad. data: (C, X, Y, Z) float32 -> softmax (num_classes,
     X, Y, Z).
@@ -316,7 +317,9 @@ def predict_volume_tiled(apply_fn, params, data: np.ndarray,
     starts = np.array([(x, y, z) for x in steps[0] for y in steps[1]
                        for z in steps[2]], dtype=np.int32)
     T = starts.shape[0]
-    Tb = bucket_num_tiles(T)
+    Tb = max(bucket_num_tiles(T), min_tile_multiple)
+    if Tb % min_tile_multiple:
+        Tb += min_tile_multiple - Tb % min_tile_multiple
     starts_padded = np.zeros((Tb, 3), np.int32)
     starts_padded[:T] = starts
 

@@ -145,6 +145,18 @@ def test_full_pipeline(synth_env):
     assert pred.spacing == pytest.approx(ref.spacing)
     assert set(np.unique(pred.array)).issubset({0, 1, 2})
 
+    # ---- 3b. multi-chip predict (tile grid sharded over a 2-device mesh)
+    # must produce identical labels to the single-device run
+    out_dir_mc = synth_env["base"] / "predictions_mc"
+    predict.main(["-i", str(synth_env["task_dir"] / "imagesTs"),
+                  "-o", str(out_dir_mc), "-t", "99", "-f", "0",
+                  "--Tconv", "shiftConvPP", "--step_size", "0.7",
+                  "--disable_postprocessing", "--num_devices", "2"])
+    for f in preds:
+        a = read_nifti(str(out_dir / f)).array
+        b = read_nifti(str(out_dir_mc / f)).array
+        assert (a == b).mean() > 0.999, f"multi-chip predict diverged on {f}"
+
     # ---- 4. evaluate
     evaluate.main(["-ref", str(synth_env["task_dir"] / "labelsTs"),
                    "-pred", str(out_dir), "-l", "1", "2"])

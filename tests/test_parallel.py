@@ -73,6 +73,33 @@ def test_sharded_sliding_window_matches_single_device():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_predict_volume_tiled_sharded_path():
+    """The predict-CLI wiring: predict_volume_tiled with a sharded predictor
+    and min_tile_multiple padding must equal the single-device result."""
+    import numpy as np
+    import jax.numpy as jnp
+    from e2enet_tpu.ops.sliding import (make_tiled_predictor_sharded,
+                                        predict_volume_tiled)
+    from e2enet_tpu.parallel.mesh import make_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(jax.devices()[:8])
+
+    def apply_fn(params, x):
+        v = x[..., :1]
+        return jnp.concatenate([v, -v, 0.3 * v], axis=-1)
+
+    rng = np.random.RandomState(1)
+    data = rng.randn(1, 20, 24, 20).astype(np.float32)  # (C, X, Y, Z)
+    patch = (16, 16, 16)
+
+    ref = predict_volume_tiled(apply_fn, {}, data, patch, 3)
+    sharded = make_tiled_predictor_sharded(apply_fn, patch, 3, mesh)
+    out = predict_volume_tiled(apply_fn, {}, data, patch, 3,
+                               predictor=sharded, min_tile_multiple=8)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
+
 def test_trainer_multi_device(tmp_path):
     """TPUTrainer with num_devices=8 (dummy-load): the sharded train step
     runs and the loss is finite."""
