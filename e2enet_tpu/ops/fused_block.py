@@ -1,0 +1,455 @@
+"""Fused shiftConvPP block as a channels-first Pallas TPU kernel.
+
+THE round-2 performance lever (PERF_NOTES.md: training is ~6x
+bandwidth-bound; the level-0 conv blocks dominate). One kernel computes, per
+(sample, depth-row) grid step:
+
+    for each input part p (an implicit channel-concat member):
+        row = lrelu(row * mult_p + off_p)        # prev block's instance norm,
+                                                 # applied ON LOAD (f32)
+    S = depth_shift(concat(parts))               # sublane-range ring reads
+    y = conv2d_3x3(S) @ W + b                    # 9 tap dots on the MXU
+    stats += (sum(y), sum(y^2)) per channel      # next block's norm input
+
+reading every input voxel ONCE from HBM (rotating 5-slot depth-row ring,
+manual DMA) and writing the raw conv output once. The instance-norm
+statistics ride along for free; normalized tensors are never materialized —
+consumers apply (mult, off) on load.
+
+Layout — "padded channels-first flat rows" (N, D, C, H*Wp), Wp = W + pad:
+  * channels-first because Mosaic manual DMA requires 128-aligned lane dims
+    (H*Wp is; C=48 is not — the round-1 blocker, ops/shift_conv_pallas.py);
+  * Wp-padding gives every image row trailing ZERO columns, so the 9 conv
+    taps are plain static lane slices of one haloed scratch with NO
+    boundary masking (out-of-row reads hit real zeros); pltpu.roll on bf16
+    is unimplemented on this target, hence slices of a halo, not rotates;
+  * channel groups of the depth shift are sublane ranges (5 slice-copies,
+    vs 5 full select passes in channels-last);
+  * the conv contracts C on the MXU: 9x (C, CO)^T @ (C, H*Wp) with f32
+    accumulation. At C<=128 each tap is one MXU K-pass — the same
+    lane-utilization wall XLA's conv hits, but with zero extra HBM traffic
+    for shift/norm/concat.
+
+Multi-part inputs realize conv(shift(concat(parts))) without materializing
+the concat (the reference's nest fusion, unetpp_d.py:447-488): each part
+has its own HBM ref + ring; shift group boundaries are computed on the
+total channel count (torch.chunk semantics, unetpp_d.py:55-56).
+
+Reference parity: torch_shift + ConvDropoutNormNonlin (unetpp_d.py:38-111).
+The backward currently falls back to the XLA reference VJP (exact adjoint);
+Pallas backward kernels are the next step.
+
+Constraints: H*Wp % 128 == 0 (Wp is chosen to satisfy this); W <= 254;
+stride 1; kernel (1,3,3); bf16 compute.
+"""
+import collections
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .shift import group_shifts
+
+NSLOT = 5       # ring slots == shift window for shift_size <= 5
+HALO = 256      # halo lanes each side; covers |dh*Wp + dw| <= Wp+1, W <= 254
+LRELU_SLOPE = 0.01
+INSTNORM_EPS = 1e-5
+
+
+def choose_wp(H: int, W: int) -> int:
+    """Smallest Wp >= W+1 with H*Wp % 128 == 0 (trailing zero columns pad
+    each image row; >= 1 column so the dw=+1 tap of w=W-1 reads a zero)."""
+    wp = W + 1
+    while (H * wp) % 128 != 0:
+        wp += 1
+    assert wp <= 255, f"W={W} too large for the HALO={HALO} design"
+    return wp
+
+
+def _kernel(*refs, part_channels, part_affine, groups, D, H, W, Wp, CO,
+            do_stats, out_dtype):
+    """refs: [x_hbm_0..x_hbm_{P-1}, w2, b, colmask, (mult_p, off_p)*,
+    o_y, (o_stats), ring_0.., sref, sem]."""
+    P = len(part_channels)
+    n_aff = sum(part_affine)
+    xs = refs[:P]
+    w_ref = refs[P]
+    b_ref = refs[P + 1]
+    cm_ref = refs[P + 2]                       # (1, H*Wp) f32 column mask
+    aff_refs = refs[P + 3:P + 3 + 2 * n_aff]
+    outs = refs[P + 3 + 2 * n_aff:]
+    if do_stats:
+        o_y, o_stats = outs[0], outs[1]
+        scratches = outs[2:]
+    else:
+        o_y = outs[0]
+        scratches = outs[1:]
+    rings = scratches[:P]
+    sref, sem = scratches[P], scratches[P + 1]
+
+    n = pl.program_id(0)
+    d = pl.program_id(1)
+    HWp = H * Wp
+    C = sum(part_channels)
+    pad = 2
+
+    def slot(src_d):
+        return jax.lax.rem(src_d + 2 * NSLOT, NSLOT)
+
+    def fetch(src_d):
+        s = slot(src_d)
+        inb = (src_d >= 0) & (src_d < D)
+
+        @pl.when(inb)
+        def _():
+            for p in range(P):
+                pltpu.make_async_copy(xs[p].at[n, src_d], rings[p].at[s],
+                                      sem.at[p]).start()
+            for p in range(P):
+                pltpu.make_async_copy(xs[p].at[n, src_d], rings[p].at[s],
+                                      sem.at[p]).wait()
+
+        @pl.when(jnp.logical_not(inb))
+        def _():
+            for p in range(P):
+                rings[p][s] = jnp.zeros_like(rings[p][s])
+
+    @pl.when((n == 0) & (d == 0))
+    def _():
+        # halo lanes are read by the dh=+-1 taps of the first/last image
+        # rows and must be zero; they are never written afterwards
+        sref[:, 0:HALO] = jnp.zeros((C, HALO), sref.dtype)
+        sref[:, HALO + HWp:2 * HALO + HWp] = jnp.zeros((C, HALO), sref.dtype)
+
+    @pl.when(d == 0)
+    def _():
+        for src in range(-pad, pad):
+            fetch(jnp.int32(src))
+
+    fetch(d + pad)
+
+    # ---- assemble the shifted, affine-normalized slice into sref
+    part_starts = np.cumsum([0] + list(part_channels))
+    aff_idx = []
+    ai = 0
+    for p in range(P):
+        aff_idx.append(ai if part_affine[p] else None)
+        ai += 1 if part_affine[p] else 0
+    for (g0, g1, s) in groups:
+        dv = ((d - s >= 0) & (d - s < D)).astype(jnp.float32)
+        for p in range(P):
+            p0, p1 = int(part_starts[p]), int(part_starts[p + 1])
+            c0, c1 = max(g0, p0), min(g1, p1)
+            if c0 >= c1:
+                continue
+            l0, l1 = c0 - p0, c1 - p0          # within-part channels
+            row = rings[p][slot(d - s)][l0:l1, :]
+            if part_affine[p]:
+                # affine params are per (sample, channel): (N, Ci, 1) f32
+                m = aff_refs[2 * aff_idx[p]][n, l0:l1, :]
+                o = aff_refs[2 * aff_idx[p] + 1][n, l0:l1, :]
+                a = row.astype(jnp.float32) * m + o
+                # lrelu(x) == max(x, slope*x) for slope < 1 (bf16 cmp is
+                # unsupported on this target, so f32 math). Depth-invalid
+                # rows stay zero AFTER the affine (shift zero-fill acts
+                # post-norm); padding columns must stay zero too.
+                a = jnp.maximum(a, a * LRELU_SLOPE) * (dv * cm_ref[...])
+                row = a.astype(row.dtype)
+            sref[c0:c1, HALO:HALO + HWp] = row
+
+    # ---- conv: 9 taps as direct haloed slices (no masks — padding columns
+    # and halo lanes are zero), f32 accumulation on the MXU
+    acc = b_ref[:].astype(jnp.float32)[:, None] * cm_ref[...]
+    t = 0
+    for dh in (-1, 0, 1):
+        for dw in (-1, 0, 1):
+            off = dh * Wp + dw
+            a = sref[:, HALO + off:HALO + off + HWp]
+            acc = acc + jax.lax.dot_general(
+                w_ref[t * C:(t + 1) * C, :], a,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            t += 1
+    # zero the padding columns so chained consumers read true zeros; taps
+    # only ever see zeros there, so conv output at padding columns is
+    # bias-free garbage = sum of neighbor contributions -> mask it
+    acc = acc * cm_ref[...]
+    o_y[0, 0] = acc.astype(out_dtype)
+
+    if do_stats:
+        s1 = jnp.sum(acc, axis=1, keepdims=True)
+        s2 = jnp.sum(acc * acc, axis=1, keepdims=True)
+
+        @pl.when(d == 0)
+        def _():
+            o_stats[0, :, 0:1] = s1
+            o_stats[0, :, 1:2] = s2
+
+        @pl.when(d != 0)
+        def _():
+            o_stats[0, :, 0:1] += s1
+            o_stats[0, :, 1:2] += s2
+
+
+def _vmem_bytes(part_channels, H, Wp, CO, itemsize=2):
+    HWp = H * Wp
+    C = sum(part_channels)
+    ring = NSLOT * C * HWp * itemsize
+    sref = C * (HWp + 2 * HALO) * itemsize
+    acc = CO * HWp * 4
+    outs = 2 * CO * HWp * itemsize
+    return ring + sref + acc + outs
+
+
+def fused_block_supported(part_channels, H, W, CO,
+                          budget=100 * 2 ** 20) -> bool:
+    if W > 254 or W < 2 or H < 2:
+        return False
+    wp = choose_wp(H, W)
+    return _vmem_bytes(part_channels, H, wp, CO) < budget
+
+
+FusedStatic = collections.namedtuple(
+    "FusedStatic", ["part_channels", "part_affine", "groups", "D", "H", "W",
+                    "Wp", "CO", "do_stats", "interpret"])
+
+
+def _forward(parts, w2, b, affines, static: FusedStatic):
+    s = static
+    N = parts[0].shape[0]
+    HWp = s.H * s.Wp
+    C = sum(s.part_channels)
+    n_aff = sum(s.part_affine)
+    dtype = parts[0].dtype
+
+    kfn = functools.partial(
+        _kernel, part_channels=s.part_channels, part_affine=s.part_affine,
+        groups=s.groups, D=s.D, H=s.H, W=s.W, Wp=s.Wp, CO=s.CO,
+        do_stats=s.do_stats, out_dtype=dtype)
+
+    lane = np.arange(HWp) % s.Wp
+    colmask = jnp.asarray((lane < s.W).astype(np.float32)[None, :])
+
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.HBM)] * len(parts)
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + 2 * n_aff))
+    out_specs = [pl.BlockSpec((1, 1, s.CO, HWp), lambda n, d: (n, d, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((N, s.D, s.CO, HWp), dtype)]
+    if s.do_stats:
+        out_specs.append(pl.BlockSpec((1, s.CO, 2), lambda n, d: (n, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((N, s.CO, 2), jnp.float32))
+
+    scratch = ([pltpu.VMEM((NSLOT, pc, HWp), dtype)
+                for pc in s.part_channels]
+               + [pltpu.VMEM((C, HWp + 2 * HALO), dtype),
+                  pltpu.SemaphoreType.DMA((len(parts),))])
+
+    out = pl.pallas_call(
+        kfn,
+        grid=(N, s.D),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        interpret=s.interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=112 * 2 ** 20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * s.D * HWp * 9 * C * s.CO,
+            bytes_accessed=N * s.D * HWp * (C + s.CO) * 2,
+            transcendentals=0),
+    )(*parts, w2, b, colmask, *affines)
+    if s.do_stats:
+        return out[0], out[1]
+    return out[0], None
+
+
+# ---------------------------------------------------------------------------
+# XLA reference (numerical oracle + backward)
+
+
+def _xla_reference(parts, w2, b, affines, static: FusedStatic):
+    """Same math in plain XLA on the padded channels-first flat layout."""
+    s = static
+    N, D = parts[0].shape[0], s.D
+    HWp = s.H * s.Wp
+    dtype = parts[0].dtype
+    lane = np.arange(HWp) % s.Wp
+    colmask = jnp.asarray((lane < s.W).astype(np.float32))
+
+    ai = 0
+    normed = []
+    for p, x in enumerate(parts):
+        if s.part_affine[p]:
+            mult, off = affines[2 * ai], affines[2 * ai + 1]  # (N, Ci, 1)
+            ai += 1
+            a = (x.astype(jnp.float32) * mult[:, None, :, :]
+                 + off[:, None, :, :])
+            a = jnp.maximum(a, a * LRELU_SLOPE) * colmask
+            x = a.astype(dtype)
+        normed.append(x)
+    x = jnp.concatenate(normed, axis=2)                    # (N, D, C, HWp)
+    C = x.shape[2]
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C, 1), 2)
+    xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    sh = None
+    for c0, c1, g in s.groups:
+        part = jax.lax.slice_in_dim(xp, 2 - g, 2 - g + D, axis=1)
+        sh = part if sh is None else jnp.where((ch >= c0) & (ch < c1),
+                                               part, sh)
+    x2 = sh.reshape(N * D, C, s.H, s.Wp)
+    wk = w2.reshape(3, 3, C, s.CO)
+    y = jax.lax.conv_general_dilated(
+        x2, wk.astype(dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        preferred_element_type=jnp.float32)
+    y = (y + b.astype(jnp.float32)[None, :, None, None]).reshape(
+        N, D, s.CO, HWp)
+    # NOTE the kernel's taps read real zeros beyond row ends (padded
+    # columns), while this conv's W-axis sees padding columns as
+    # neighbors... they ARE zero in x (enforced above and by producers), so
+    # results agree on valid columns; mask the padding columns like the
+    # kernel does.
+    y = (y * colmask).astype(dtype)
+    if s.do_stats:
+        yf = y.astype(jnp.float32)
+        s1 = jnp.sum(yf, axis=(1, 3))
+        s2 = jnp.sum(jnp.square(yf), axis=(1, 3))
+        return y, jnp.stack([s1, s2], axis=-1)
+    return y, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_op(parts, w2, b, affines, static):
+    y, stats = _forward(list(parts), w2, b, list(affines), static)
+    if stats is None:
+        stats = jnp.zeros((parts[0].shape[0], static.CO, 2), jnp.float32)
+    return y, stats
+
+
+def _fused_fwd(parts, w2, b, affines, static):
+    return _fused_op(parts, w2, b, affines, static), (parts, w2, b, affines)
+
+
+def _fused_bwd(static, res, g):
+    parts, w2, b, affines = res
+    gy, gstats = g
+
+    def ref_fn(parts_, w2_, b_, affines_):
+        y, stats = _xla_reference(list(parts_), w2_, b_, list(affines_),
+                                  static)
+        if stats is None:
+            stats = jnp.zeros((parts_[0].shape[0], static.CO, 2),
+                              jnp.float32)
+        return y, stats
+
+    _, vjp = jax.vjp(ref_fn, parts, w2, b, affines)
+    return vjp((gy, gstats))
+
+
+_fused_op.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_shift_conv_block(parts: Sequence[jnp.ndarray],
+                           kernel: jnp.ndarray, bias: jnp.ndarray,
+                           affines: Sequence[Optional[tuple]],
+                           H: int, W: int,
+                           shift_size: int = 5,
+                           do_stats: bool = True,
+                           use_pallas: bool = True,
+                           interpret: bool = False):
+    """parts: padded channels-first flat tensors (N, D, Ci, H*Wp) — an
+    implicit channel concat; padding columns (w >= W) must be zero.
+    kernel: (3, 3, C, CO). bias: (CO,). affines: per part, None or a pair
+    (mult (Ci,) or (N, Ci), off likewise) f32 — the part's pending
+    instance-norm apply + leaky-relu, executed on load.
+
+    Returns (y_raw (N, D, CO, H*Wp): conv output, NOT normalized, padding
+             columns zero; stats (N, CO, 2): [sum, sumsq] over valid voxels
+             or None).
+    """
+    part_channels = tuple(int(p.shape[2]) for p in parts)
+    C = sum(part_channels)
+    D = int(parts[0].shape[1])
+    CO = int(kernel.shape[-1])
+    Wp = parts[0].shape[3] // H
+    assert parts[0].shape[3] == H * Wp and Wp == choose_wp(H, W)
+    groups = tuple(group_shifts(C, shift_size))
+    part_affine = tuple(a is not None for a in affines)
+    w2 = kernel.reshape(9 * C, CO)
+    N = int(parts[0].shape[0])
+    flat_affines = []
+    for p, a in enumerate(affines):
+        if a is not None:
+            m, o = a
+            ci = part_channels[p]
+            m = jnp.broadcast_to(m.astype(jnp.float32).reshape(-1, ci),
+                                 (N, ci)).reshape(N, ci, 1)
+            o = jnp.broadcast_to(o.astype(jnp.float32).reshape(-1, ci),
+                                 (N, ci)).reshape(N, ci, 1)
+            flat_affines.extend([m, o])
+    static = FusedStatic(part_channels, part_affine, groups, D, H, W, Wp,
+                         CO, do_stats, interpret)
+    if use_pallas:
+        y, stats = _fused_op(tuple(parts), w2, bias, tuple(flat_affines),
+                             static)
+    else:
+        y, stats = _xla_reference(list(parts), w2, bias, flat_affines,
+                                  static)
+        if stats is None:
+            stats = jnp.zeros((parts[0].shape[0], CO, 2), jnp.float32)
+    return y, (stats if do_stats else None)
+
+
+# ---------------------------------------------------------------------------
+# layout + norm helpers
+
+
+def to_padded_cf(x: jnp.ndarray, W: int, Wp: int) -> jnp.ndarray:
+    """(N, D, H, W, C) channels-last -> (N, D, C, H*Wp) padded flat."""
+    N, D, H, _, C = x.shape
+    x = jnp.transpose(x, (0, 1, 4, 2, 3))                 # (N, D, C, H, W)
+    x = jnp.pad(x, ((0, 0),) * 4 + ((0, Wp - W),))
+    return x.reshape(N, D, C, H * Wp)
+
+
+def from_padded_cf(x: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """(N, D, C, H*Wp) -> (N, D, H, W, C) channels-last."""
+    N, D, C, HWp = x.shape
+    Wp = HWp // H
+    x = x.reshape(N, D, C, H, Wp)[..., :W]
+    return jnp.transpose(x, (0, 1, 3, 4, 2))
+
+
+def norm_affine_from_stats(stats: jnp.ndarray, n_vox: int,
+                           scale: jnp.ndarray, nbias: jnp.ndarray,
+                           eps: float = INSTNORM_EPS):
+    """(mult, off) of the instance-norm apply from accumulated (sum, sumsq).
+    stats: (N, CO, 2) -> mult/off (N, CO) f32; consumers compute
+    lrelu(x * mult + off). Matches ops.blocks.instance_norm's bf16 fast path
+    (E[x^2] - E[x]^2 variance, f32)."""
+    s1, s2 = stats[..., 0], stats[..., 1]
+    mean = s1 / n_vox
+    var = s2 / n_vox - mean * mean
+    mult = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)[None]
+    off = nbias.astype(jnp.float32)[None] - mean * mult
+    return mult, off
+
+
+def apply_norm_lrelu_cf(x: jnp.ndarray, mult: jnp.ndarray, off: jnp.ndarray,
+                        colmask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Materialize a pending normalization (for non-fused consumers):
+    lrelu(x * mult + off), x (N, D, C, HWp); mult/off (N, C)."""
+    a = (x.astype(jnp.float32) * mult[:, None, :, None]
+         + off[:, None, :, None])
+    a = jnp.maximum(a, a * LRELU_SLOPE)
+    if colmask is not None:
+        a = a * colmask
+    return a.astype(x.dtype)
