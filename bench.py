@@ -34,6 +34,8 @@ def main():
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--tta_batch", type=int, default=1,
                     help="mirror flips per forward (memory/parallelism knob)")
+    ap.add_argument("--no_fused", action="store_true",
+                    help="disable the Pallas fused block kernels")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -55,7 +57,8 @@ def main():
         input_channels=num_mod, num_classes=num_classes,
         pool_op_kernel_sizes=((2, 2, 2),) * 5,
         base_num_features=48 if on_tpu else 8,
-        compute_dtype=jnp.bfloat16)
+        compute_dtype=jnp.bfloat16,
+        fused=on_tpu and not args.no_fused)
     x0 = jnp.zeros((1, *patch, num_mod), jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
     n_params = sum(int(np.prod(p.shape))

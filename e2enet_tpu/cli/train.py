@@ -66,6 +66,9 @@ def main(args=None):
     parser.add_argument("--validation_only", action="store_true")
     parser.add_argument("--valbest", action="store_true")
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--no_fused", action="store_true",
+                        help="disable the Pallas fused block kernels "
+                             "(default: auto-enabled on TPU)")
     parser.add_argument("-p", "--plans_identifier", type=str,
                         default="nnUNetPlansv2.1")
     parser.add_argument("-tr", "--trainer_variant", type=str,
@@ -120,7 +123,8 @@ def main(args=None):
         fp16=not a.fp32, dsff_config=dsff_cfg, seed=a.seed,
         num_da_threads=a.da_threads, base_num_features=a.base_features,
         num_devices=a.num_devices, spatial_parallel=a.spatial_parallel,
-        device_augment=a.device_augment)
+        device_augment=a.device_augment,
+        fused=False if a.no_fused else None)
     kwargs.update({k: v for k, v in preset.items()
                    if k in ("max_num_epochs", "loss_name", "momentum",
                             "initial_lr", "da_level", "dummy_load", "fp16",

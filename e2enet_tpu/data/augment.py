@@ -134,6 +134,29 @@ def spatial_augment_sample(data: np.ndarray, seg: np.ndarray,
                 seg[(slice(None),) + sl].copy())
 
     offset = center_in - M @ center_out
+
+    # native single-pass C++ warp when available (e2enet_tpu/native):
+    # ~order-of-magnitude faster than scipy on this 1-CPU host, which is
+    # what keeps the device fed (reference hides this cost behind worker
+    # processes, data_augmentation_moreDA.py:163)
+    from ..native import native_available
+    if native_available():
+        from ..native import affine_warp, affine_warp_seg
+        out_data = affine_warp(data.astype(np.float32, copy=False), M,
+                               offset, tuple(patch),
+                               order=params.order_data, cval=0.0)
+        out_seg = np.zeros((seg.shape[0], *patch), np.float32)
+        for c in range(seg.shape[0]):
+            if params.order_seg == 0:
+                out_seg[c] = affine_warp(seg[c].astype(np.float32), M,
+                                         offset, tuple(patch), order=0,
+                                         cval=params.border_val_seg)
+            else:
+                out_seg[c] = affine_warp_seg(seg[c].astype(np.float32), M,
+                                             offset, tuple(patch),
+                                             cval=params.border_val_seg)
+        return out_data, out_seg
+
     out_data = np.zeros((data.shape[0], *patch), np.float32)
     out_seg = np.zeros((seg.shape[0], *patch), np.float32)
     for c in range(data.shape[0]):

@@ -20,7 +20,7 @@ unetpp_d.py:447-488). Reference index mapping: x(i, j) = loc{P-i-j}[j-1].
 Deep-supervision heads sit on x(0,P), x(1,P-1), x(2,P-2), x(3,P-3)
 (unetpp_d.py:394-401,480-483).
 """
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, NamedTuple, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +29,16 @@ from flax import linen as nn
 from ..ops.blocks import (SegHead, StackedConvBlocks, TranspConv, max_pool)
 
 MAX_NUM_FILTERS_3D = 320
+
+
+class Pending(NamedTuple):
+    """A fused-block output whose instance norm + leaky-relu has NOT been
+    applied: consumers apply it on load (ops/fused_block.py). Layout is
+    padded channels-first flat (N, D, C, H*Wp)."""
+    raw: jnp.ndarray      # conv output, unnormalized
+    stats: jnp.ndarray    # (N, C, 2) accumulated (sum, sumsq)
+    scale: jnp.ndarray    # (C,) norm_scale param
+    nbias: jnp.ndarray    # (C,) norm_bias param
 
 
 def encoder_channels(base: int, num_pool: int, max_features: int,
@@ -51,6 +61,18 @@ class ShiftUNetPlusPlus(nn.Module):
     dense_fusion: bool = True      # the maxpool down links (DSFF substrate)
     remat: bool = True             # rematerialize conv blocks in backward
     compute_dtype: Any = jnp.bfloat16
+    # fused=True: run stride-1 conv blocks through the Pallas fused kernel
+    # (ops/fused_block.py) at every level where it is supported; normalized
+    # activations are then never materialized (consumers apply norm+lrelu on
+    # load) and nest concats never built. Parameter tree is identical to the
+    # XLA path. fused_interpret runs the kernels in interpret mode (CPU
+    # tests).
+    fused: bool = False
+    fused_interpret: bool = False
+    # finest level index allowed to fuse (0 = full resolution). Deeper
+    # levels have tiny depth-rows where per-step kernel overhead loses to
+    # XLA; levels 0-1 carry ~95% of the compute.
+    fused_max_level: int = 1
 
     @property
     def num_pool(self) -> int:
@@ -90,22 +112,83 @@ class ShiftUNetPlusPlus(nn.Module):
         Stack = (nn.remat(StackedConvBlocks, static_argnums=())
                  if self.remat else StackedConvBlocks)
 
+        # ---------------- fused-layout machinery (ops/fused_block.py)
+        from ..ops.fused_block import (apply_norm_lrelu_cf, choose_wp,
+                                       from_padded_cf, fused_block_supported,
+                                       norm_affine_from_stats, to_padded_cf)
+
+        level_size: List[Tuple[int, int, int]] = [tuple(
+            int(s) for s in x.shape[1:4])]
+        for p in pools:
+            level_size.append(tuple(int(s) // int(k)
+                                    for s, k in zip(level_size[-1], p)))
+
+        def fused_ok(i, part_channels, co):
+            if not self.fused or self.conv_kernel != (1, 3, 3):
+                return False
+            if i > self.fused_max_level:
+                return False
+            if cd != jnp.bfloat16 and not self.fused_interpret:
+                return False
+            _, H, W = level_size[i]
+            return fused_block_supported(part_channels, H, W, co)
+
+        def n_vox(i):
+            d, h, w = level_size[i]
+            return d * h * w
+
+        def affine_of(v: Pending, i):
+            return norm_affine_from_stats(v.stats, n_vox(i), v.scale,
+                                          v.nbias)
+
+        def as_part(v, i):
+            """(cf_tensor, pending_affine_or_None) for fused consumption."""
+            if isinstance(v, Pending):
+                return v.raw, affine_of(v, i)
+            _, H, W = level_size[i]
+            return to_padded_cf(v, W, choose_wp(H, W)), None
+
+        def as_cl(v, i):
+            """Materialize channels-last (one affine+lrelu+relayout pass)."""
+            if not isinstance(v, Pending):
+                return v
+            _, H, W = level_size[i]
+            Wp = choose_wp(H, W)
+            lane = np.arange(H * Wp) % Wp
+            colmask = jnp.asarray((lane < W).astype(np.float32))
+            mult, off = affine_of(v, i)
+            y = apply_norm_lrelu_cf(v.raw, mult, off, colmask)
+            return from_padded_cf(y, H, W)
+
         # ---------------- encoder (convolutional pooling: strided 1st conv)
-        nodes: Dict[Tuple[int, int], jnp.ndarray] = {}
+        nodes: Dict[Tuple[int, int], Any] = {}
         h = x
         for d in range(P):
             stride = pools[d - 1] if d > 0 else (1, 1, 1)
-            h = Stack(features=enc[d],
-                                  num_convs=self.num_conv_per_stage,
-                                  first_stride=stride,
-                                  name=f"context{d}", **common)(h)
+            cin = (self.input_channels if d == 0 else enc[d - 1])
+            if stride == (1, 1, 1) and fused_ok(d, (cin,), enc[d]):
+                _, H, W = level_size[d]
+                part, aff = as_part(as_cl(h, d) if not isinstance(h, Pending)
+                                    else h, d)
+                out = Stack(features=enc[d],
+                            num_convs=self.num_conv_per_stage,
+                            fused=True, fused_hw=(H, W),
+                            fused_interpret=self.fused_interpret,
+                            name=f"context{d}", **common)(([part], [aff]))
+                h = Pending(*out)
+            else:
+                h = Stack(features=enc[d],
+                          num_convs=self.num_conv_per_stage,
+                          first_stride=stride,
+                          name=f"context{d}", **common)(as_cl(h, d - 1
+                                                              if d else 0))
             nodes[(d, 0)] = h
         # bottleneck: (num_conv_per_stage - 1) strided convs + 1 conv
         # (unetpp_d.py:365-371)
         h = Stack(features=enc[P],
                               num_convs=self.num_conv_per_stage - 1,
                               first_stride=pools[P - 1],
-                              name=f"context{P}a", **common)(h)
+                              name=f"context{P}a", **common)(as_cl(h, P - 1))
         h = Stack(features=enc[P], num_convs=1,
                               name=f"context{P}b", **common)(h)
         nodes[(P, 0)] = h
@@ -115,12 +198,47 @@ class ShiftUNetPlusPlus(nn.Module):
         # remat unit: only the node outputs (the x-grid) are kept for the
         # backward pass; up/concat/conv intermediates are recomputed
         def node_fn(mdl, below, same, above, z, k, i):
-            up = TranspConv(features=enc[i], stride=pools[i],
-                            compute_dtype=cd,
-                            name=f"up{z}_{k}", parent=mdl)(below)
-            cat = [same, up]
+            _, H, W = level_size[i]
+            ch_same = enc[i]
+            ch_parts = (ch_same, enc[i]) if above is None else (
+                ch_same, enc[i], enc[i - 1])
+            use_fused = fused_ok(i, ch_parts, enc[i])
+
+            up_mod = TranspConv(features=enc[i], stride=pools[i],
+                                compute_dtype=cd,
+                                cf_out_hw=(H, W) if use_fused else None,
+                                name=f"up{z}_{k}", parent=mdl)
+            up = up_mod(as_cl(below, i + 1))
+
+            if use_fused:
+                p_same, a_same = as_part(same, i)
+                parts, affines = [p_same, up], [a_same, None]
+                if above is not None:
+                    down = max_pool(as_cl(above, i - 1), pools[i - 1])
+                    p_down, _ = as_part(down, i)
+                    parts.append(p_down)
+                    affines.append(None)
+                fused_in = (parts, affines)
+                out = StackedConvBlocks(
+                    features=enc[i], num_convs=self.num_conv_per_stage - 1,
+                    fused=True, fused_hw=(H, W),
+                    fused_interpret=self.fused_interpret,
+                    name=f"loc{z}_{k}", parent=mdl, **common)(fused_in)
+                if z == 0:
+                    raw, stats, scale, nbias = out
+                    mult, off = norm_affine_from_stats(
+                        stats, n_vox(i), scale, nbias)
+                    out = StackedConvBlocks(
+                        features=enc[i], num_convs=1, fused=True,
+                        fused_hw=(H, W),
+                        fused_interpret=self.fused_interpret,
+                        name=f"loc{z}_{k}_final", parent=mdl,
+                        **common)(([raw], [(mult, off)]))
+                return Pending(*out)
+
+            cat = [as_cl(same, i), up]
             if above is not None:
-                cat.append(max_pool(above, pools[i - 1]))
+                cat.append(max_pool(as_cl(above, i - 1), pools[i - 1]))
             # parts list: the first conv computes conv(shift(concat))
             # without materializing the wide concat
             fused = cat
@@ -154,7 +272,7 @@ class ShiftUNetPlusPlus(nn.Module):
         n_heads = self.num_ds_outputs()
         outputs = []
         for i in range(n_heads):
-            head_in = nodes[(i, P - i)]
+            head_in = as_cl(nodes[(i, P - i)], i)
             outputs.append(SegHead(num_classes=self.num_classes,
                                    compute_dtype=cd,
                                    name=f"seg_head{i}")(head_in))
@@ -186,13 +304,25 @@ def ds_loss_weights(num_pool: int, num_outputs: int) -> np.ndarray:
     return weights[:num_outputs]
 
 
+def default_fused() -> bool:
+    """Fused Pallas blocks on real TPU backends; XLA path on CPU."""
+    import jax
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
                   tconv: str = "shiftConvPP", base_num_features: int = 48,
-                  compute_dtype=jnp.bfloat16):
+                  compute_dtype=jnp.bfloat16, fused=None):
     """Network factory by Tconv name.
     Parity: nnUNetTrainer_simple.initialize_network (:281-357).
     2D plans (patch D == 1) disable the depth shift — the reference never
-    shifts in 2D (torch_shift is dim_num==3 only)."""
+    shifts in 2D (torch_shift is dim_num==3 only).
+    fused: None = auto (Pallas fused blocks on TPU, XLA on CPU)."""
+    if fused is None:
+        fused = default_fused()
     pools = tuple(tuple(p) for p in plans_stage.pool_op_kernel_sizes)
     if int(plans_stage.patch_size[0]) == 1:
         if tconv in ("shiftConvPP",):
@@ -209,12 +339,12 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
         return ShiftUNetPlusPlus(
             input_channels=num_modalities, num_classes=num_classes_incl_bg,
             pool_op_kernel_sizes=pools, base_num_features=base_num_features,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, fused=fused)
     if tconv == "shiftConvPP_noshift":
         return ShiftUNetPlusPlus(
             input_channels=num_modalities, num_classes=num_classes_incl_bg,
             pool_op_kernel_sizes=pools, base_num_features=base_num_features,
-            do_shift=False, compute_dtype=compute_dtype)
+            do_shift=False, compute_dtype=compute_dtype, fused=fused)
     if tconv in ("shiftConvPP_313", "shiftConvPP_331"):
         # kernels (3,1,3)/(3,3,1); the reference disables the shift for
         # these ablations ('and False', unetpp_d_313.py:102)

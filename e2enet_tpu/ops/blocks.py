@@ -150,6 +150,30 @@ def transp_conv_matmul(x: jnp.ndarray, kernel: jnp.ndarray,
     return y.reshape(N, D * sd, H * sh, W * sw, cout)
 
 
+def transp_conv_matmul_cf(x: jnp.ndarray, kernel: jnp.ndarray,
+                          stride: Tuple[int, int, int], W: int, Wp: int,
+                          compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """transp_conv_matmul emitting the padded channels-first flat layout
+    (N, D, Cout, H*Wp) that the fused block kernels consume — the
+    depth-to-space transpose and the layout/pad conversion are ONE XLA
+    pass instead of two. x: channels-last (N, D1, H1, W1, Cin)."""
+    sd, sh, sw = stride
+    N, D1, H1, W1, C = x.shape
+    kd, kh, kw, cin, cout = kernel.shape
+    assert (kd, kh, kw) == (sd, sh, sw), "transpconv requires kernel == stride"
+    assert W == W1 * sw
+    w2 = kernel.reshape(sd * sh * sw, cin, cout)
+    w2 = jnp.transpose(w2, (1, 0, 2)).reshape(cin, sd * sh * sw * cout)
+    y = jnp.dot(x.astype(compute_dtype), w2.astype(compute_dtype),
+                preferred_element_type=compute_dtype,
+                precision=_precision_for(compute_dtype))
+    y = y.reshape(N, D1, H1, W1, sd, sh, sw, cout)
+    y = jnp.transpose(y, (0, 1, 4, 7, 2, 5, 3, 6))
+    y = y.reshape(N, D1 * sd, cout, H1 * sh, W1 * sw)
+    y = jnp.pad(y, ((0, 0),) * 4 + ((0, Wp - W),))
+    return y.reshape(N, D1 * sd, cout, (H1 * sh) * Wp)
+
+
 def max_pool(x: jnp.ndarray, window: Tuple[int, int, int]) -> jnp.ndarray:
     """Max pool with window == stride (the nest down links, unetpp_d.py:524)."""
     wd, wh, ww = window
@@ -176,6 +200,10 @@ class ShiftConvBlock(nn.Module):
     do_shift: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
 
+    fused: bool = False                 # run the Pallas fused-block kernel
+    fused_hw: Optional[Tuple[int, int]] = None   # static (H, W) when fused
+    fused_interpret: bool = False
+
     @nn.compact
     def __call__(self, x):
         """x: a tensor, OR a list of tensors representing an implicit
@@ -183,7 +211,35 @@ class ShiftConvBlock(nn.Module):
         materialized: conv(shift(cat(parts))) == sum_i conv(shift_i(part_i))
         with each part's shift-group boundaries inherited from the full
         concat — avoids shifting the wide tensor (the dominant cost of the
-        nest blocks, see PERF_NOTES.md)."""
+        nest blocks, see PERF_NOTES.md).
+
+        fused=True runs the Pallas fused-block kernel (ops/fused_block.py):
+        x is then (parts, affines) with parts in padded channels-first
+        flat layout, affines the per-part pending instance-norm(+lrelu)
+        params; returns (raw_conv_out, stats, norm_scale, norm_bias) — the
+        normalization is NOT applied; consumers apply it on load. Parameter
+        shapes/names are identical in both modes (checkpoint interop)."""
+        if self.fused:
+            from .fused_block import fused_shift_conv_block
+            parts, affines = x
+            H, W = self.fused_hw
+            assert self.kernel == (1, 3, 3) and self.stride == (1, 1, 1)
+            cin = sum(int(p.shape[2]) for p in parts)
+            kernel = self.param("kernel", he_normal_leaky(),
+                                (3, 3, cin, self.features))
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            scale = self.param("norm_scale", nn.initializers.ones,
+                               (self.features,))
+            nbias = self.param("norm_bias", nn.initializers.zeros,
+                               (self.features,))
+            y, stats = fused_shift_conv_block(
+                parts, kernel.astype(self.compute_dtype),
+                bias.astype(self.compute_dtype), affines, H, W,
+                shift_size=self.shift_size, do_shift=self.do_shift,
+                interpret=self.fused_interpret)
+            return y, stats, scale, nbias
+
         kd, kh, kw = self.kernel
         flat_axes = [i for i, k in enumerate(self.kernel) if k == 1]
         assert len(flat_axes) >= 1, \
@@ -238,10 +294,43 @@ class StackedConvBlocks(nn.Module):
     shift_size: int = 5
     do_shift: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
+    fused: bool = False
+    fused_hw: Optional[Tuple[int, int]] = None
+    fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
-        """x may be a list (implicit concat) — only the first conv sees it."""
+        """x may be a list (implicit concat) — only the first conv sees it.
+
+        fused=True: x is (parts, affines); every conv must be stride 1
+        (convolutional pooling stays on the XLA path). Blocks are chained
+        through their instance-norm STATISTICS: block i's norm + lrelu is
+        applied on load by block i+1 (ops/fused_block.py). Returns the
+        final block's (raw, stats, norm_scale, norm_bias) pending
+        normalization."""
+        if self.fused:
+            from .fused_block import norm_affine_from_stats
+            parts, affines = x
+            H, W = self.fused_hw
+            assert self.first_stride == (1, 1, 1)
+            D = int(parts[0].shape[1])
+            n_vox = D * H * W
+            out = None
+            for i in range(self.num_convs):
+                if out is not None:
+                    raw, stats, scale, nbias = out
+                    mult, off = norm_affine_from_stats(stats, n_vox,
+                                                       scale, nbias)
+                    parts, affines = [raw], [(mult, off)]
+                out = ShiftConvBlock(
+                    features=self.features, kernel=self.kernel,
+                    shift_size=self.shift_size, do_shift=self.do_shift,
+                    compute_dtype=self.compute_dtype, fused=True,
+                    fused_hw=self.fused_hw,
+                    fused_interpret=self.fused_interpret,
+                    name=f"block{i}")((parts, affines))
+            return out
+
         for i in range(self.num_convs):
             x = ShiftConvBlock(
                 features=self.features, kernel=self.kernel,
@@ -253,10 +342,13 @@ class StackedConvBlocks(nn.Module):
 
 
 class TranspConv(nn.Module):
-    """Transposed conv, kernel == stride, no bias (unetpp_d.py:521-522)."""
+    """Transposed conv, kernel == stride, no bias (unetpp_d.py:521-522).
+    cf_out_hw=(H, W): emit the padded channels-first flat layout for the
+    fused block kernels instead of channels-last."""
     features: int
     stride: Tuple[int, int, int]
     compute_dtype: jnp.dtype = jnp.bfloat16
+    cf_out_hw: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, x):
@@ -264,6 +356,12 @@ class TranspConv(nn.Module):
         sd, sh, sw = self.stride
         kernel = self.param("kernel", he_normal_leaky(),
                             (sd, sh, sw, cin, self.features))
+        if self.cf_out_hw is not None:
+            from .fused_block import choose_wp
+            H, W = self.cf_out_hw
+            return transp_conv_matmul_cf(x, kernel, self.stride, W,
+                                         choose_wp(H, W),
+                                         self.compute_dtype)
         return transp_conv_matmul(x, kernel, self.stride, self.compute_dtype)
 
 

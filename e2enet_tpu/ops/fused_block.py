@@ -70,8 +70,8 @@ def choose_wp(H: int, W: int) -> int:
     return wp
 
 
-def _kernel(*refs, part_channels, part_affine, groups, D, H, W, Wp, CO,
-            do_stats, out_dtype):
+def _kernel(*refs, part_channels, part_channels_log, part_affine, groups,
+            D, H, W, Wp, CO, do_stats, out_dtype):
     """refs: [x_hbm_0..x_hbm_{P-1}, w2, b, colmask, (mult_p, off_p)*,
     o_y, (o_stats), ring_0.., sref, sem]."""
     P = len(part_channels)
@@ -120,10 +120,11 @@ def _kernel(*refs, part_channels, part_affine, groups, D, H, W, Wp, CO,
 
     @pl.when((n == 0) & (d == 0))
     def _():
-        # halo lanes are read by the dh=+-1 taps of the first/last image
-        # rows and must be zero; they are never written afterwards
-        sref[:, 0:HALO] = jnp.zeros((C, HALO), sref.dtype)
-        sref[:, HALO + HWp:2 * HALO + HWp] = jnp.zeros((C, HALO), sref.dtype)
+        # zero once: halo lanes (read by the dh=+-1 taps of the first/last
+        # image rows) and the physical channel-padding rows (read by every
+        # tap matmul with zero weights — must not be NaN garbage). The
+        # assembly only ever writes real-channel rows of the body.
+        sref[...] = jnp.zeros_like(sref)
 
     @pl.when(d == 0)
     def _():
@@ -132,8 +133,11 @@ def _kernel(*refs, part_channels, part_affine, groups, D, H, W, Wp, CO,
 
     fetch(d + pad)
 
-    # ---- assemble the shifted, affine-normalized slice into sref
-    part_starts = np.cumsum([0] + list(part_channels))
+    # ---- assemble the shifted, affine-normalized slice into sref.
+    # groups and part boundaries are in LOGICAL channels; sref rows are laid
+    # out in PHYSICAL channels (parts padded to even rows for bf16 DMA).
+    part_starts = np.cumsum([0] + list(part_channels_log))
+    phys_starts = np.cumsum([0] + list(part_channels))
     aff_idx = []
     ai = 0
     for p in range(P):
@@ -159,7 +163,8 @@ def _kernel(*refs, part_channels, part_affine, groups, D, H, W, Wp, CO,
                 # post-norm); padding columns must stay zero too.
                 a = jnp.maximum(a, a * LRELU_SLOPE) * (dv * cm_ref[...])
                 row = a.astype(row.dtype)
-            sref[c0:c1, HALO:HALO + HWp] = row
+            q0 = int(phys_starts[p])
+            sref[q0 + l0:q0 + l1, HALO:HALO + HWp] = row
 
     # ---- conv: 9 taps as direct haloed slices (no masks — padding columns
     # and halo lanes are zero), f32 accumulation on the MXU
@@ -222,12 +227,33 @@ def _forward(parts, w2, b, affines, static: FusedStatic):
     s = static
     N = parts[0].shape[0]
     HWp = s.H * s.Wp
-    C = sum(s.part_channels)
     n_aff = sum(s.part_affine)
     dtype = parts[0].dtype
 
+    # physicalize: bf16 manual DMA needs an even sublane (channel) count per
+    # part — pad odd parts with a zero channel and give it zero weight rows
+    pad_to = 2 if dtype == jnp.bfloat16 else 1
+    phys = [ci + (-ci) % pad_to for ci in s.part_channels]
+    if phys != list(s.part_channels):
+        pparts, wrows = [], []
+        off = 0
+        for p, (ci, cp) in enumerate(zip(s.part_channels, phys)):
+            x = parts[p]
+            if cp != ci:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, cp - ci), (0, 0)))
+            pparts.append(x)
+            rows = w2.reshape(9, sum(s.part_channels), s.CO)[:, off:off + ci]
+            if cp != ci:
+                rows = jnp.pad(rows, ((0, 0), (0, cp - ci), (0, 0)))
+            wrows.append(rows)
+            off += ci
+        parts = pparts
+        w2 = jnp.concatenate(wrows, axis=1).reshape(9 * sum(phys), s.CO)
+    C = sum(phys)
+
     kfn = functools.partial(
-        _kernel, part_channels=s.part_channels, part_affine=s.part_affine,
+        _kernel, part_channels=tuple(phys),
+        part_channels_log=s.part_channels, part_affine=s.part_affine,
         groups=s.groups, D=s.D, H=s.H, W=s.W, Wp=s.Wp, CO=s.CO,
         do_stats=s.do_stats, out_dtype=dtype)
 
@@ -245,7 +271,7 @@ def _forward(parts, w2, b, affines, static: FusedStatic):
         out_shape.append(jax.ShapeDtypeStruct((N, s.CO, 2), jnp.float32))
 
     scratch = ([pltpu.VMEM((NSLOT, pc, HWp), dtype)
-                for pc in s.part_channels]
+                for pc in phys]
                + [pltpu.VMEM((C, HWp + 2 * HALO), dtype),
                   pltpu.SemaphoreType.DMA((len(parts),))])
 
@@ -335,23 +361,126 @@ def _fused_op(parts, w2, b, affines, static):
 
 
 def _fused_fwd(parts, w2, b, affines, static):
-    return _fused_op(parts, w2, b, affines, static), (parts, w2, b, affines)
+    out = _fused_op(parts, w2, b, affines, static)
+    # y rides as a residual: the backward needs it only for the
+    # d(stats)/dy = (1, 2y) term, and it is this op's own output — no
+    # forward recompute in the backward pass
+    return out, (parts, w2, b, affines, out[0])
+
+
+def _shift_normalize(parts, affines, static: FusedStatic):
+    """The normalized+shifted operand S and the lrelu/affine intermediates
+    (cheap elementwise recompute used by the backward)."""
+    s = static
+    HWp = s.H * s.Wp
+    lane = np.arange(HWp) % s.Wp
+    colmask = jnp.asarray((lane < s.W).astype(np.float32))
+    dtype = parts[0].dtype
+    ai = 0
+    normed, sels, mults = [], [], []
+    for p, x in enumerate(parts):
+        if s.part_affine[p]:
+            mult, off = affines[2 * ai], affines[2 * ai + 1]  # (N, Ci, 1)
+            ai += 1
+            a = (x.astype(jnp.float32) * mult[:, None, :, :]
+                 + off[:, None, :, :])
+            sel = jnp.where(a >= 0, 1.0, LRELU_SLOPE)
+            sels.append(sel)
+            mults.append(mult)
+            x = (jnp.maximum(a, a * LRELU_SLOPE) * colmask).astype(dtype)
+        else:
+            sels.append(None)
+            mults.append(None)
+        normed.append(x)
+    return normed, sels, mults, colmask
+
+
+def _apply_shift_cf(x, groups, D, sign=+1):
+    """Channel-grouped depth shift on (N, D, C, L); sign=-1 is the adjoint."""
+    C = x.shape[2]
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C, 1), 2)
+    xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    out = None
+    for c0, c1, g in groups:
+        g = sign * g
+        part = jax.lax.slice_in_dim(xp, 2 - g, 2 - g + D, axis=1)
+        out = part if out is None else jnp.where((ch >= c0) & (ch < c1),
+                                                 part, out)
+    return out
 
 
 def _fused_bwd(static, res, g):
-    parts, w2, b, affines = res
+    """Manual backward — no forward recompute. Cost: one transposed conv
+    (dgrad), one weight-grad contraction, and a few elementwise passes."""
+    s = static
+    parts, w2, b, affines, y = res
     gy, gstats = g
+    N, D = parts[0].shape[0], s.D
+    HWp = s.H * s.Wp
+    C = sum(s.part_channels)
+    dtype = parts[0].dtype
 
-    def ref_fn(parts_, w2_, b_, affines_):
-        y, stats = _xla_reference(list(parts_), w2_, b_, list(affines_),
-                                  static)
-        if stats is None:
-            stats = jnp.zeros((parts_[0].shape[0], static.CO, 2),
-                              jnp.float32)
-        return y, stats
+    normed, sels, mults, colmask = _shift_normalize(parts, affines, static)
 
-    _, vjp = jax.vjp(ref_fn, parts, w2, b, affines)
-    return vjp((gy, gstats))
+    # effective cotangent of the (masked) conv output
+    gy_eff = gy.astype(jnp.float32)
+    if s.do_stats and gstats is not None:
+        gs1 = gstats[..., 0][:, None, :, None]      # (N, 1, CO, 1)
+        gs2 = gstats[..., 1][:, None, :, None]
+        gy_eff = gy_eff + gs1 + 2.0 * y.astype(jnp.float32) * gs2
+    gy_eff = (gy_eff * colmask).astype(dtype)
+
+    gb = jnp.sum(gy_eff.astype(jnp.float32), axis=(0, 1, 3)).astype(b.dtype)
+
+    wk = w2.reshape(3, 3, C, s.CO)
+
+    # dgrad: gS = conv_transpose(gy_eff) == conv with spatially-flipped,
+    # channel-transposed kernel (stride 1, SAME)
+    g2 = gy_eff.reshape(N * D, s.CO, s.H, s.Wp)
+    wk_t = jnp.flip(wk, axis=(0, 1)).transpose(0, 1, 3, 2)  # (3,3,CO,C)
+    gS = jax.lax.conv_general_dilated(
+        g2, wk_t.astype(dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        preferred_element_type=jnp.float32).astype(dtype)
+    gS = gS.reshape(N, D, C, HWp)
+
+    # wgrad: gw[kh,kw,ci,co] = sum over (n,d,h,w) S[.., h+kh-1, w+kw-1, ci]
+    # * gy_eff[.., h, w, co]; contraction via conv with the batch as the
+    # contracting dim (standard conv wgrad formulation)
+    S = _apply_shift_cf(jnp.concatenate(normed, axis=2), s.groups, D)
+    S4 = S.reshape(N * D, C, s.H, s.Wp)
+    # (C <- feature, N*D <- batch-contraction): lhs (C, ND, H, Wp) etc.
+    # lhs (b=ci, f=nd, H, Wp), rhs (o=co, i=nd, H, Wp) -> out (ci, co, 3, 3)
+    gw = jax.lax.conv_general_dilated(
+        S4.transpose(1, 0, 2, 3).astype(dtype),        # (C, ND, H, Wp)
+        g2.transpose(1, 0, 2, 3).astype(dtype),        # (CO, ND, H, Wp)
+        window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)
+    # out (C, CO, 3, 3) -> (3, 3, C, CO) -> (9C, CO)
+    gw = gw.transpose(2, 3, 0, 1).reshape(9 * C, s.CO).astype(w2.dtype)
+
+    # shift adjoint (negated offsets), then split to parts + affine bwd
+    gU = _apply_shift_cf(gS, s.groups, D, sign=-1)
+    gparts, gaffines = [], []
+    off0 = 0
+    ai = 0
+    for p, x in enumerate(parts):
+        ci = s.part_channels[p]
+        gu = gU[:, :, off0:off0 + ci, :]
+        off0 += ci
+        if s.part_affine[p]:
+            sel = sels[p]                                # (N, D, Ci, HWp) f32
+            guf = gu.astype(jnp.float32) * sel * colmask
+            gx = (guf * mults[p][:, None, :, :]).astype(x.dtype)
+            gm = jnp.sum(guf * x.astype(jnp.float32), axis=(1, 3))  # (N, Ci)
+            go = jnp.sum(guf, axis=(1, 3))
+            gaffines.extend([gm.reshape(N, ci, 1), go.reshape(N, ci, 1)])
+            gparts.append(gx)
+        else:
+            gparts.append(gu.astype(x.dtype))
+    return tuple(gparts), gw, gb, tuple(gaffines)
 
 
 _fused_op.defvjp(_fused_fwd, _fused_bwd)
@@ -362,6 +491,7 @@ def fused_shift_conv_block(parts: Sequence[jnp.ndarray],
                            affines: Sequence[Optional[tuple]],
                            H: int, W: int,
                            shift_size: int = 5,
+                           do_shift: bool = True,
                            do_stats: bool = True,
                            use_pallas: bool = True,
                            interpret: bool = False):
@@ -381,7 +511,8 @@ def fused_shift_conv_block(parts: Sequence[jnp.ndarray],
     CO = int(kernel.shape[-1])
     Wp = parts[0].shape[3] // H
     assert parts[0].shape[3] == H * Wp and Wp == choose_wp(H, W)
-    groups = tuple(group_shifts(C, shift_size))
+    groups = (tuple(group_shifts(C, shift_size)) if do_shift
+              else ((0, C, 0),))
     part_affine = tuple(a is not None for a in affines)
     w2 = kernel.reshape(9 * C, CO)
     N = int(parts[0].shape[0])

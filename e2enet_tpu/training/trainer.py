@@ -59,7 +59,8 @@ class TPUTrainer:
                  profile_dir: Optional[str] = None,
                  num_devices: Optional[int] = None,
                  spatial_parallel: int = 1,
-                 device_augment: bool = False):
+                 device_augment: bool = False,
+                 fused: Optional[bool] = None):
         self.plans = plans
         self.fold = fold
         self.stage = stage
@@ -93,6 +94,7 @@ class TPUTrainer:
         self.profile_dir = profile_dir
         self.num_devices = num_devices
         self.spatial_parallel = spatial_parallel
+        self.fused = fused      # None = auto: Pallas fused blocks on TPU
         self.device_augment = device_augment
         self.oversample_foreground_percent = 0.33
 
@@ -126,7 +128,8 @@ class TPUTrainer:
         self.network = build_network(
             self.stage_plan, num_in, self.num_classes,
             tconv=self.tconv, base_num_features=self.base_num_features,
-            compute_dtype=jnp.bfloat16 if self.fp16 else jnp.float32)
+            compute_dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
+            fused=self.fused)
         self.num_pool = len(self.stage_plan.pool_op_kernel_sizes)
         n_out = self.network.num_ds_outputs()
         self.ds_weights = ds_loss_weights(self.num_pool, n_out)

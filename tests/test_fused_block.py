@@ -142,6 +142,61 @@ def test_fused_grad_matches_oracle():
                                    rtol=5e-3, atol=5e-4)
 
 
+def test_model_fused_matches_xla_path():
+    """ShiftUNetPlusPlus(fused=True, interpret) == the XLA path, same
+    params. Shapes chosen so BOTH level 0 and level 1 run fused (level-1
+    nodes exercise the 3-part down-link path)."""
+    from e2enet_tpu.models.unetpp import ShiftUNetPlusPlus
+
+    kw = dict(input_channels=1, num_classes=3,
+              pool_op_kernel_sizes=((2, 2, 2), (2, 2, 2)),
+              base_num_features=4, compute_dtype=jnp.float32, remat=False)
+    m_ref = ShiftUNetPlusPlus(**kw)
+    m_fus = ShiftUNetPlusPlus(**kw, fused=True, fused_interpret=True)
+
+    x = _mk(jax.random.PRNGKey(5), (1, 8, 8, 16, 1))
+    params = m_ref.init(jax.random.PRNGKey(6), x)
+    # identical parameter trees (checkpoint interop)
+    p2 = m_fus.init(jax.random.PRNGKey(6), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+
+    outs_ref = m_ref.apply(params, x)
+    outs_fus = m_fus.apply(params, x)
+    assert len(outs_ref) == len(outs_fus)
+    for a, b in zip(outs_ref, outs_fus):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4)
+
+
+def test_model_fused_grad_matches():
+    """Gradients through the fused model (XLA-reference VJP + remat) match
+    the standard path."""
+    from e2enet_tpu.models.unetpp import ShiftUNetPlusPlus
+
+    kw = dict(input_channels=1, num_classes=2,
+              pool_op_kernel_sizes=((2, 2, 2),),
+              base_num_features=4, compute_dtype=jnp.float32, remat=True)
+    m_ref = ShiftUNetPlusPlus(**kw)
+    m_fus = ShiftUNetPlusPlus(**kw, fused=True, fused_interpret=True)
+    x = _mk(jax.random.PRNGKey(7), (1, 4, 8, 16, 1))
+    params = m_ref.init(jax.random.PRNGKey(8), x)
+
+    def loss(m):
+        def f(p):
+            outs = m.apply(p, x)
+            return sum(jnp.sum(o * o) for o in outs)
+        return f
+
+    g_ref = jax.grad(loss(m_ref))(params)
+    g_fus = jax.grad(loss(m_fus))(params)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_f, _ = jax.tree_util.tree_flatten(g_fus)
+    for a, b in zip(flat_r, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-2, atol=1e-3)
+
+
 def test_xla_reference_path_matches():
     """use_pallas=False (the pure-XLA fallback) equals the kernel."""
     N, D, H, W, C, CO = 1, 5, 8, 16, 6, 4
