@@ -66,9 +66,11 @@ def main(args=None):
     parser.add_argument("--validation_only", action="store_true")
     parser.add_argument("--valbest", action="store_true")
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--fused", action="store_true",
+                        help="train through the Pallas fused block kernels "
+                             "(experimental: higher HBM peak in backward)")
     parser.add_argument("--no_fused", action="store_true",
-                        help="disable the Pallas fused block kernels "
-                             "(default: auto-enabled on TPU)")
+                        help="force-disable the Pallas fused block kernels")
     parser.add_argument("-p", "--plans_identifier", type=str,
                         default="nnUNetPlansv2.1")
     parser.add_argument("-tr", "--trainer_variant", type=str,
@@ -124,7 +126,7 @@ def main(args=None):
         num_da_threads=a.da_threads, base_num_features=a.base_features,
         num_devices=a.num_devices, spatial_parallel=a.spatial_parallel,
         device_augment=a.device_augment,
-        fused=False if a.no_fused else None)
+        fused=False if a.no_fused else (True if a.fused else None))
     kwargs.update({k: v for k, v in preset.items()
                    if k in ("max_num_epochs", "loss_name", "momentum",
                             "initial_lr", "da_level", "dummy_load", "fp16",

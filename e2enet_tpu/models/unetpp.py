@@ -122,11 +122,21 @@ class ShiftUNetPlusPlus(nn.Module):
         for p in pools:
             level_size.append(tuple(int(s) // int(k)
                                     for s, k in zip(level_size[-1], p)))
+        # one Wp per level, divisible by the W-stride of the transposed conv
+        # feeding it so upsampled tensors are emitted directly in the padded
+        # layout (see blocks.transp_conv_matmul_cf)
+        level_wp: List[int] = []
+        for i, (dd, hh, ww) in enumerate(level_size):
+            mult = pools[i][2] if i < P else 1
+            try:
+                level_wp.append(choose_wp(hh, ww, mult))
+            except AssertionError:
+                level_wp.append(0)      # level unusable for fusion
 
         def fused_ok(i, part_channels, co):
             if not self.fused or self.conv_kernel != (1, 3, 3):
                 return False
-            if i > self.fused_max_level:
+            if i > self.fused_max_level or level_wp[i] == 0:
                 return False
             if cd != jnp.bfloat16 and not self.fused_interpret:
                 return False
@@ -146,14 +156,14 @@ class ShiftUNetPlusPlus(nn.Module):
             if isinstance(v, Pending):
                 return v.raw, affine_of(v, i)
             _, H, W = level_size[i]
-            return to_padded_cf(v, W, choose_wp(H, W)), None
+            return to_padded_cf(v, W, level_wp[i]), None
 
         def as_cl(v, i):
             """Materialize channels-last (one affine+lrelu+relayout pass)."""
             if not isinstance(v, Pending):
                 return v
             _, H, W = level_size[i]
-            Wp = choose_wp(H, W)
+            Wp = int(v.raw.shape[3]) // H
             lane = np.arange(H * Wp) % Wp
             colmask = jnp.asarray((lane < W).astype(np.float32))
             mult, off = affine_of(v, i)
@@ -206,7 +216,8 @@ class ShiftUNetPlusPlus(nn.Module):
 
             up_mod = TranspConv(features=enc[i], stride=pools[i],
                                 compute_dtype=cd,
-                                cf_out_hw=(H, W) if use_fused else None,
+                                cf_out=((H, W, level_wp[i])
+                                        if use_fused else None),
                                 name=f"up{z}_{k}", parent=mdl)
             up = up_mod(as_cl(below, i + 1))
 

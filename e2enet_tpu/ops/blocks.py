@@ -154,30 +154,44 @@ def transp_conv_matmul_cf(x: jnp.ndarray, kernel: jnp.ndarray,
                           stride: Tuple[int, int, int], W: int, Wp: int,
                           compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """transp_conv_matmul emitting the padded channels-first flat layout
-    (N, D, Cout, H*Wp) that the fused block kernels consume — the
-    depth-to-space transpose and the layout/pad conversion are ONE XLA
-    pass instead of two. x: channels-last (N, D1, H1, W1, Cin)."""
+    (N, D, Cout, H*Wp) that the fused block kernels consume. The input is
+    zero-padded to Wp/sw columns BEFORE the matmul (cheap, fuses with the
+    producer), so the depth-to-space relayout lands directly in the final
+    padded layout: ONE copy instead of transpose + pad (profile showed the
+    separate pad costing an extra full-volume pass per up-link).
+    x: channels-last (N, D1, H1, W1, Cin). Requires Wp % sw == 0."""
     sd, sh, sw = stride
     N, D1, H1, W1, C = x.shape
     kd, kh, kw, cin, cout = kernel.shape
     assert (kd, kh, kw) == (sd, sh, sw), "transpconv requires kernel == stride"
-    assert W == W1 * sw
+    assert W == W1 * sw and Wp % sw == 0, (W, W1, sw, Wp)
+    W1p = Wp // sw
+    if W1p != W1:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, W1p - W1), (0, 0)))
     w2 = kernel.reshape(sd * sh * sw, cin, cout)
     w2 = jnp.transpose(w2, (1, 0, 2)).reshape(cin, sd * sh * sw * cout)
     y = jnp.dot(x.astype(compute_dtype), w2.astype(compute_dtype),
                 preferred_element_type=compute_dtype,
                 precision=_precision_for(compute_dtype))
-    y = y.reshape(N, D1, H1, W1, sd, sh, sw, cout)
+    y = y.reshape(N, D1, H1, W1p, sd, sh, sw, cout)
     y = jnp.transpose(y, (0, 1, 4, 7, 2, 5, 3, 6))
-    y = y.reshape(N, D1 * sd, cout, H1 * sh, W1 * sw)
-    y = jnp.pad(y, ((0, 0),) * 4 + ((0, Wp - W),))
     return y.reshape(N, D1 * sd, cout, (H1 * sh) * Wp)
 
 
 def max_pool(x: jnp.ndarray, window: Tuple[int, int, int]) -> jnp.ndarray:
-    """Max pool with window == stride (the nest down links, unetpp_d.py:524)."""
+    """Max pool with window == stride (the nest down links, unetpp_d.py:524).
+
+    Implemented as reshape + max over the window axes: fuses with producers
+    (reduce_window does not) and differentiates to a cheap elementwise
+    select — reduce_window's gradient lowers to SelectAndScatter, which is
+    catastrophically slow on TPU."""
     wd, wh, ww = window
-    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    N, D, H, W, C = x.shape
+    if D % wd == 0 and H % wh == 0 and W % ww == 0:
+        x = x.reshape(N, D // wd, wd, H // wh, wh, W // ww, ww, C)
+        return jnp.max(x, axis=(2, 4, 6))
+    init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(
         x, init, jax.lax.max,
         window_dimensions=(1, wd, wh, ww, 1),
@@ -343,12 +357,12 @@ class StackedConvBlocks(nn.Module):
 
 class TranspConv(nn.Module):
     """Transposed conv, kernel == stride, no bias (unetpp_d.py:521-522).
-    cf_out_hw=(H, W): emit the padded channels-first flat layout for the
+    cf_out=(H, W, Wp): emit the padded channels-first flat layout for the
     fused block kernels instead of channels-last."""
     features: int
     stride: Tuple[int, int, int]
     compute_dtype: jnp.dtype = jnp.bfloat16
-    cf_out_hw: Optional[Tuple[int, int]] = None
+    cf_out: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(self, x):
@@ -356,11 +370,9 @@ class TranspConv(nn.Module):
         sd, sh, sw = self.stride
         kernel = self.param("kernel", he_normal_leaky(),
                             (sd, sh, sw, cin, self.features))
-        if self.cf_out_hw is not None:
-            from .fused_block import choose_wp
-            H, W = self.cf_out_hw
-            return transp_conv_matmul_cf(x, kernel, self.stride, W,
-                                         choose_wp(H, W),
+        if self.cf_out is not None:
+            H, W, Wp = self.cf_out
+            return transp_conv_matmul_cf(x, kernel, self.stride, W, Wp,
                                          self.compute_dtype)
         return transp_conv_matmul(x, kernel, self.stride, self.compute_dtype)
 

@@ -60,11 +60,16 @@ LRELU_SLOPE = 0.01
 INSTNORM_EPS = 1e-5
 
 
-def choose_wp(H: int, W: int) -> int:
+def choose_wp(H: int, W: int, multiple: int = 1) -> int:
     """Smallest Wp >= W+1 with H*Wp % 128 == 0 (trailing zero columns pad
-    each image row; >= 1 column so the dw=+1 tap of w=W-1 reads a zero)."""
+    each image row; >= 1 column so the dw=+1 tap of w=W-1 reads a zero).
+    `multiple`: additionally require Wp % multiple == 0 — set to the
+    W-stride of the transposed conv feeding this level, so the upsampled
+    output can be written directly in the padded layout (the input is
+    padded to Wp/stride columns BEFORE the matmul; one relayout copy
+    instead of transpose + pad)."""
     wp = W + 1
-    while (H * wp) % 128 != 0:
+    while (H * wp) % 128 != 0 or wp % multiple != 0:
         wp += 1
     assert wp <= 255, f"W={W} too large for the HALO={HALO} design"
     return wp
@@ -297,6 +302,365 @@ def _forward(parts, w2, b, affines, static: FusedStatic):
 
 
 # ---------------------------------------------------------------------------
+# Pallas backward kernel: one (N, D) walk with rotating rings computing
+# d(parts), dW, db and the affine grads — no XLA full-volume intermediates
+# (the XLA fallback backward materializes per-node recomputes that the
+# scheduler hoists, blowing the HBM peak at production sizes).
+#
+# Derivation (y = conv(shift(concat(u_p))) + b, u_p = lrelu(x_p*m_p+o_p)):
+#   gy_eff[e]   = (gy[e] + gs1 + 2*y[e]*gs2) * colmask
+#   ct[e]       = conv_T(gy_eff[e])          (within-slice, 9 flipped taps)
+#   gU[d][c,g]  = ct[d + s_g][c]             (shift adjoint = +s read)
+#   gx_p[d]     = gU_p[d] * lrelu'(a) * m_p  (affine parts) else gU_p[d]
+#   gw[tap]    += S_tap[e] @ gy_eff[e]^T     (S = fwd shifted operand)
+#   gb         += sum(gy_eff)
+# Schedule at grid step d: fetch parts[d+4], gy/y[d+2]; compute gy_eff[d+2],
+# ct[d+2] (ring), wgrad at e=d+2; emit gx[d] from the ct ring + parts ring
+# (slot d). Warmup handles e=0,1.
+
+
+def _bwd_kernel(*refs, part_channels, part_channels_log, part_affine,
+                groups, D, H, W, Wp, CO, out_dtype):
+    P = len(part_channels)
+    n_aff = sum(part_affine)
+    idx = 0
+    xs = refs[idx:idx + P]; idx += P
+    gy_hbm = refs[idx]; idx += 1
+    y_hbm = refs[idx]; idx += 1
+    w_ref = refs[idx]; idx += 1          # (9C, CO) fwd weights
+    cm_ref = refs[idx]; idx += 1         # (1, HWp) f32
+    gs_ref = refs[idx]; idx += 1         # (N, CO, 2) f32 stats cotangent
+    aff_refs = refs[idx:idx + 2 * n_aff]; idx += 2 * n_aff
+    # outputs
+    gxs = refs[idx:idx + P]; idx += P
+    gw_ref = refs[idx]; idx += 1         # (9C, CO) f32
+    gb_ref = refs[idx]; idx += 1         # (N, CO, 1) f32
+    gaffs = refs[idx:idx + n_aff]; idx += n_aff   # (N, Cp, 2) f32 each
+    # scratch
+    rings = refs[idx:idx + P]; idx += P
+    gybuf = refs[idx]; idx += 1          # (CO, HWp)
+    ybuf = refs[idx]; idx += 1           # (CO, HWp)
+    geff = refs[idx]; idx += 1           # (CO, HWp + 2*HALO) haloed
+    ct_ring = refs[idx]; idx += 1        # (NSLOT, C, HWp)
+    ct_acc = refs[idx]; idx += 1         # (C, HWp) f32 accumulator
+    sref = refs[idx]; idx += 1           # (C, HWp + 2*HALO) haloed
+    sem = refs[idx]; idx += 1
+
+    n = pl.program_id(0)
+    # grid dim 1 runs D+4 steps: dd = step - 4 is the emitted output depth.
+    # The 4 lead-in steps replace an unrolled warmup — inlining process_e
+    # five times quintuples register pressure (measured ~53MB of spill
+    # slots at production sizes).
+    dd = pl.program_id(1) - 4
+    HWp = H * Wp
+    C = sum(part_channels)
+    part_starts = np.cumsum([0] + list(part_channels_log))
+    phys_starts = np.cumsum([0] + list(part_channels))
+    aff_idx = []
+    ai = 0
+    for p in range(P):
+        aff_idx.append(ai if part_affine[p] else None)
+        ai += 1 if part_affine[p] else 0
+
+    def slot(src_d):
+        return jax.lax.rem(src_d + 2 * NSLOT, NSLOT)
+
+    def fetch_parts(src_d):
+        s = slot(src_d)
+        inb = (src_d >= 0) & (src_d < D)
+
+        @pl.when(inb)
+        def _():
+            for p in range(P):
+                pltpu.make_async_copy(xs[p].at[n, src_d], rings[p].at[s],
+                                      sem.at[p]).start()
+            for p in range(P):
+                pltpu.make_async_copy(xs[p].at[n, src_d], rings[p].at[s],
+                                      sem.at[p]).wait()
+
+        @pl.when(jnp.logical_not(inb))
+        def _():
+            for p in range(P):
+                rings[p][s] = jnp.zeros_like(rings[p][s])
+
+    def assemble_S(e):
+        """Fwd shifted+normalized operand S[e] into sref (body lanes)."""
+        for (g0, g1, sft) in groups:
+            dv = ((e - sft >= 0) & (e - sft < D)).astype(jnp.float32)
+            for p in range(P):
+                p0, p1 = int(part_starts[p]), int(part_starts[p + 1])
+                c0, c1 = max(g0, p0), min(g1, p1)
+                if c0 >= c1:
+                    continue
+                l0, l1 = c0 - p0, c1 - p0
+                row = rings[p][slot(e - sft)][l0:l1, :]
+                if part_affine[p]:
+                    m = aff_refs[2 * aff_idx[p]][n, l0:l1, :]
+                    o = aff_refs[2 * aff_idx[p] + 1][n, l0:l1, :]
+                    a = row.astype(jnp.float32) * m + o
+                    a = jnp.maximum(a, a * LRELU_SLOPE) * (dv * cm_ref[...])
+                    row = a.astype(row.dtype)
+                q0 = int(phys_starts[p])
+                sref[q0 + l0:q0 + l1, HALO:HALO + HWp] = row
+
+    def process_e(e):
+        """gy_eff[e] -> ct ring; wgrad & bias grad at e."""
+        inb = (e >= 0) & (e < D)
+
+        @pl.when(inb)
+        def _():
+            cpg = pltpu.make_async_copy(gy_hbm.at[n, e], gybuf, sem.at[P])
+            cpy = pltpu.make_async_copy(y_hbm.at[n, e], ybuf, sem.at[P + 1])
+            cpg.start()
+            cpy.start()
+            cpg.wait()
+            cpy.wait()
+            # bf16 math (the value is cast to bf16 for the dots anyway);
+            # full-width f32 chains here spill tens of MB of vregs
+            gs1 = gs_ref[n, :, 0:1].astype(gybuf.dtype)   # (CO, 1)
+            gs2 = (2.0 * gs_ref[n, :, 1:2]).astype(gybuf.dtype)
+            cmb = cm_ref[...].astype(gybuf.dtype)
+            geb = (gybuf[...] + gs1 + ybuf[...] * gs2) * cmb
+            geff[:, HALO:HALO + HWp] = geb
+
+            # bias grad (f32 accumulation of the bf16 row)
+            s1 = jnp.sum(geb.astype(jnp.float32), axis=1,
+                         keepdims=True)                   # (CO, 1)
+
+            @pl.when(e == 0)
+            def _():
+                gb_ref[n, :, 0:1] = s1
+
+            @pl.when(e != 0)
+            def _():
+                gb_ref[n, :, 0:1] += s1
+
+            # ct[e] = conv_T(gy_eff[e]): flipped taps, channel-transposed.
+            # Accumulate in VMEM scratch — a value chain of (C, HWp) f32
+            # vectors spills ~65MB of vregs at production sizes.
+            t = 0
+            for dh in (-1, 0, 1):
+                for dw in (-1, 0, 1):
+                    # adjoint of tap (dh, dw) reads gy_eff at -offset
+                    off = -(dh * Wp + dw)
+                    a = geff[:, HALO + off:HALO + off + HWp]
+                    contrib = jax.lax.dot_general(
+                        w_ref[t * C:(t + 1) * C, :], a,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    if t == 0:
+                        ct_acc[...] = contrib
+                    else:
+                        ct_acc[...] += contrib
+                    t += 1
+            ct_ring[slot(e)] = ct_acc[...].astype(ct_ring.dtype)
+
+            # wgrad at e: S[e] assembled from parts rings
+            assemble_S(e)
+            t = 0
+            for dh in (-1, 0, 1):
+                for dw in (-1, 0, 1):
+                    off = dh * Wp + dw
+                    stap = sref[:, HALO + off:HALO + off + HWp]
+                    gwc = jax.lax.dot_general(
+                        stap, geb,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # (C, CO)
+
+                    @pl.when((n == 0) & (e == 0))
+                    def _(t=t, gwc=gwc):
+                        gw_ref[t * C:(t + 1) * C, :] = gwc
+
+                    @pl.when(jnp.logical_not((n == 0) & (e == 0)))
+                    def _(t=t, gwc=gwc):
+                        gw_ref[t * C:(t + 1) * C, :] += gwc
+                    t += 1
+
+        @pl.when(jnp.logical_not(inb))
+        def _():
+            ct_ring[slot(e)] = jnp.zeros_like(ct_ring[slot(e)])
+
+    @pl.when((n == 0) & (dd == -4))
+    def _():
+        sref[...] = jnp.zeros_like(sref)
+        geff[...] = jnp.zeros_like(geff)
+
+    # zero-fill the negative-depth ring rows once per sample; their slots
+    # (slot(-2) == slot(3), slot(-1) == slot(4)) are re-fetched with real
+    # rows only AFTER process_e has consumed the zeros
+    @pl.when(dd == -4)
+    def _():
+        fetch_parts(jnp.int32(-2))
+
+    @pl.when(dd == -3)
+    def _():
+        fetch_parts(jnp.int32(-1))
+
+    fetch_parts(dd + 4)     # rows 0..D-1 as dd walks -4..D-1
+    process_e(dd + 2)       # e = -2..D+1; invalid e zeroes its ct slot
+
+    # ---- emit gx[dd]: shift adjoint from the ct ring + affine backward
+    @pl.when(dd >= 0)
+    def _emit():
+        for p in range(P):
+            p0, p1 = int(part_starts[p]), int(part_starts[p + 1])
+            q0 = int(phys_starts[p])
+            for (g0, g1, sft) in groups:
+                c0, c1 = max(g0, p0), min(g1, p1)
+                if c0 >= c1:
+                    continue
+                l0, l1 = c0 - p0, c1 - p0
+                gu = ct_ring[slot(dd + sft)][q0 + l0:q0 + l1, :]
+                if part_affine[p]:
+                    x_row = rings[p][slot(dd)][l0:l1, :].astype(jnp.float32)
+                    m = aff_refs[2 * aff_idx[p]][n, l0:l1, :]
+                    o = aff_refs[2 * aff_idx[p] + 1][n, l0:l1, :]
+                    a = x_row * m + o
+                    sel = jnp.where(a >= 0, 1.0, LRELU_SLOPE)
+                    guf = gu.astype(jnp.float32) * sel * cm_ref[...]
+                    gxs[p][0, 0, l0:l1, :] = (guf * m).astype(out_dtype)
+                    gm = jnp.sum(guf * x_row, axis=1, keepdims=True)
+                    go = jnp.sum(guf, axis=1, keepdims=True)
+
+                    @pl.when(dd == 0)
+                    def _(p=p, l0=l0, l1=l1, gm=gm, go=go):
+                        gaffs[aff_idx[p]][n, l0:l1, 0:1] = gm
+                        gaffs[aff_idx[p]][n, l0:l1, 1:2] = go
+
+                    @pl.when(dd != 0)
+                    def _(p=p, l0=l0, l1=l1, gm=gm, go=go):
+                        gaffs[aff_idx[p]][n, l0:l1, 0:1] += gm
+                        gaffs[aff_idx[p]][n, l0:l1, 1:2] += go
+                else:
+                    gxs[p][0, 0, l0:l1, :] = gu.astype(out_dtype)
+
+
+def _bwd_pallas(parts, w2, b, affines, y, gy, gstats, static: FusedStatic):
+    """Pallas-kernel backward. Returns (gparts, gw, gb, gaffines) in the
+    LOGICAL channel shapes."""
+    s = static
+    N = parts[0].shape[0]
+    HWp = s.H * s.Wp
+    dtype = parts[0].dtype
+    pad_to = 2 if dtype == jnp.bfloat16 else 1
+    phys = [ci + (-ci) % pad_to for ci in s.part_channels]
+    # physicalize parts + weights like the forward
+    if phys != list(s.part_channels):
+        pparts, wrows = [], []
+        off = 0
+        for p, (ci, cp) in enumerate(zip(s.part_channels, phys)):
+            x = parts[p]
+            if cp != ci:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, cp - ci), (0, 0)))
+            pparts.append(x)
+            rows = w2.reshape(9, sum(s.part_channels), s.CO)[:, off:off + ci]
+            if cp != ci:
+                rows = jnp.pad(rows, ((0, 0), (0, cp - ci), (0, 0)))
+            wrows.append(rows)
+            off += ci
+        parts = pparts
+        w2p = jnp.concatenate(wrows, axis=1).reshape(9 * sum(phys), s.CO)
+    else:
+        w2p = w2
+    C = sum(phys)
+    n_aff = sum(s.part_affine)
+
+    lane = np.arange(HWp) % s.Wp
+    colmask = jnp.asarray((lane < s.W).astype(np.float32)[None, :])
+    if gstats is None:
+        gstats = jnp.zeros((N, s.CO, 2), jnp.float32)
+
+    kfn = functools.partial(
+        _bwd_kernel, part_channels=tuple(phys),
+        part_channels_log=s.part_channels, part_affine=s.part_affine,
+        groups=s.groups, D=s.D, H=s.H, W=s.W, Wp=s.Wp, CO=s.CO,
+        out_dtype=dtype)
+
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.HBM)] * len(parts)
+                + [pl.BlockSpec(memory_space=pltpu.HBM),     # gy
+                   pl.BlockSpec(memory_space=pltpu.HBM)]     # y
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + 2 * n_aff))
+    # grid dim 1 has 4 lead-in steps (see _bwd_kernel); during them the gx
+    # block index clamps to 0 — the block is rewritten at the first real
+    # step before any flush to HBM (same block until step 5)
+    def gx_index(nn_, step):
+        z = step - step  # traced 0
+        return (nn_, jnp.maximum(step - 4, z), z, z)
+
+    out_specs = (
+        [pl.BlockSpec((1, 1, cp, HWp), gx_index,
+                      memory_space=pltpu.VMEM) for cp in phys]
+        + [pl.BlockSpec((9 * C, s.CO), lambda nn_, step: (0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, s.CO, 1), lambda nn_, step: (nn_, 0, 0),
+                        memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((1, cp, 2), lambda nn_, step: (nn_, 0, 0),
+                        memory_space=pltpu.VMEM)
+           for p, cp in enumerate(phys) if s.part_affine[p]])
+    out_shape = (
+        [jax.ShapeDtypeStruct((N, s.D, cp, HWp), dtype) for cp in phys]
+        + [jax.ShapeDtypeStruct((9 * C, s.CO), jnp.float32),
+           jax.ShapeDtypeStruct((N, s.CO, 1), jnp.float32)]
+        + [jax.ShapeDtypeStruct((N, cp, 2), jnp.float32)
+           for p, cp in enumerate(phys) if s.part_affine[p]])
+
+    scratch = ([pltpu.VMEM((NSLOT, cp, HWp), dtype) for cp in phys]
+               + [pltpu.VMEM((s.CO, HWp), dtype),              # gybuf
+                  pltpu.VMEM((s.CO, HWp), dtype),              # ybuf
+                  pltpu.VMEM((s.CO, HWp + 2 * HALO), dtype),   # geff halo
+                  pltpu.VMEM((NSLOT, C, HWp), dtype),          # ct ring
+                  pltpu.VMEM((C, HWp), jnp.float32),           # ct acc
+                  pltpu.VMEM((C, HWp + 2 * HALO), dtype),      # sref halo
+                  pltpu.SemaphoreType.DMA((len(parts) + 2,))])
+
+    aff_flat = list(affines)
+    outs = pl.pallas_call(
+        kfn,
+        grid=(N, s.D + 4),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        interpret=s.interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=120 * 2 ** 20),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * N * s.D * HWp * 9 * C * s.CO,
+            bytes_accessed=3 * N * s.D * HWp * (C + s.CO) * 2,
+            transcendentals=0),
+    )(*parts, gy, y, w2p, colmask, gstats, *aff_flat)
+
+    gparts = list(outs[:len(parts)])
+    gw_p = outs[len(parts)]
+    gb = jnp.sum(outs[len(parts) + 1][..., 0], axis=0).astype(b.dtype)
+    gaff_outs = outs[len(parts) + 2:]
+
+    # de-physicalize
+    if phys != list(s.part_channels):
+        gparts = [g[:, :, :ci, :] for g, ci in zip(gparts, s.part_channels)]
+        gw9 = gw_p.reshape(9, C, s.CO)
+        cols = []
+        off = 0
+        for ci, cp in zip(s.part_channels, phys):
+            cols.append(gw9[:, off:off + ci])
+            off += cp
+        gw = jnp.concatenate(cols, axis=1).reshape(
+            9 * sum(s.part_channels), s.CO).astype(w2.dtype)
+    else:
+        gw = gw_p.astype(w2.dtype)
+
+    gaffines = []
+    k = 0
+    for p in range(len(s.part_channels)):
+        if s.part_affine[p]:
+            ga = gaff_outs[k][:, :s.part_channels[p], :]
+            gaffines.extend([ga[..., 0:1], ga[..., 1:2]])
+            k += 1
+    return tuple(gparts), gw, gb, tuple(gaffines)
+
+
+# ---------------------------------------------------------------------------
 # XLA reference (numerical oracle + backward)
 
 
@@ -369,30 +733,24 @@ def _fused_fwd(parts, w2, b, affines, static):
 
 
 def _shift_normalize(parts, affines, static: FusedStatic):
-    """The normalized+shifted operand S and the lrelu/affine intermediates
-    (cheap elementwise recompute used by the backward)."""
+    """The normalized input parts (cheap elementwise recompute used by the
+    backward for the weight-grad operand)."""
     s = static
     HWp = s.H * s.Wp
     lane = np.arange(HWp) % s.Wp
     colmask = jnp.asarray((lane < s.W).astype(np.float32))
     dtype = parts[0].dtype
     ai = 0
-    normed, sels, mults = [], [], []
+    normed = []
     for p, x in enumerate(parts):
         if s.part_affine[p]:
             mult, off = affines[2 * ai], affines[2 * ai + 1]  # (N, Ci, 1)
             ai += 1
             a = (x.astype(jnp.float32) * mult[:, None, :, :]
                  + off[:, None, :, :])
-            sel = jnp.where(a >= 0, 1.0, LRELU_SLOPE)
-            sels.append(sel)
-            mults.append(mult)
             x = (jnp.maximum(a, a * LRELU_SLOPE) * colmask).astype(dtype)
-        else:
-            sels.append(None)
-            mults.append(None)
         normed.append(x)
-    return normed, sels, mults, colmask
+    return normed, colmask
 
 
 def _apply_shift_cf(x, groups, D, sign=+1):
@@ -409,18 +767,38 @@ def _apply_shift_cf(x, groups, D, sign=+1):
     return out
 
 
+_USE_PALLAS_BWD = True
+
+
 def _fused_bwd(static, res, g):
-    """Manual backward — no forward recompute. Cost: one transposed conv
-    (dgrad), one weight-grad contraction, and a few elementwise passes."""
+    if _USE_PALLAS_BWD:
+        parts, w2, b, affines, y = res
+        gy, gstats = g
+        return _bwd_pallas(parts, w2, b, affines, y, gy, gstats, static)
+    return _fused_bwd_xla(static, res, g)
+
+
+def _fused_bwd_xla(static, res, g):
+    """Manual XLA backward — no forward recompute. Cost: one transposed
+    conv (dgrad), one weight-grad contraction, and elementwise passes.
+    NOTE: at production sizes XLA hoists every node's wgrad-operand
+    recompute and keeps them all live (HBM OOM) — kept as a debugging
+    fallback and oracle; the Pallas backward above is the production
+    path."""
     s = static
     parts, w2, b, affines, y = res
     gy, gstats = g
+    # tie the recompute of the wgrad operand (a full-volume intermediate)
+    # to the incoming cotangent: without this barrier XLA hoists every
+    # node's recompute to the start of the backward pass and keeps them ALL
+    # live (5 x ~1GB at production sizes -> OOM)
+    parts, gy = jax.lax.optimization_barrier((parts, gy))
     N, D = parts[0].shape[0], s.D
     HWp = s.H * s.Wp
     C = sum(s.part_channels)
     dtype = parts[0].dtype
 
-    normed, sels, mults, colmask = _shift_normalize(parts, affines, static)
+    normed, colmask = _shift_normalize(parts, affines, static)
 
     # effective cotangent of the (masked) conv output
     gy_eff = gy.astype(jnp.float32)
@@ -471,10 +849,17 @@ def _fused_bwd(static, res, g):
         gu = gU[:, :, off0:off0 + ci, :]
         off0 += ci
         if s.part_affine[p]:
-            sel = sels[p]                                # (N, D, Ci, HWp) f32
+            # recompute the affine locally so the lrelu mask fuses into
+            # this elementwise chain instead of being materialized in f32
+            # across the dgrad conv (an extra ~GB at production sizes)
+            mult, off = affines[2 * ai], affines[2 * ai + 1]
+            ai += 1
+            xf = x.astype(jnp.float32)
+            a = xf * mult[:, None, :, :] + off[:, None, :, :]
+            sel = jnp.where(a >= 0, 1.0, LRELU_SLOPE)
             guf = gu.astype(jnp.float32) * sel * colmask
-            gx = (guf * mults[p][:, None, :, :]).astype(x.dtype)
-            gm = jnp.sum(guf * x.astype(jnp.float32), axis=(1, 3))  # (N, Ci)
+            gx = (guf * mult[:, None, :, :]).astype(x.dtype)
+            gm = jnp.sum(guf * xf, axis=(1, 3))          # (N, Ci)
             go = jnp.sum(guf, axis=(1, 3))
             gaffines.extend([gm.reshape(N, ci, 1), go.reshape(N, ci, 1)])
             gparts.append(gx)
@@ -510,7 +895,7 @@ def fused_shift_conv_block(parts: Sequence[jnp.ndarray],
     D = int(parts[0].shape[1])
     CO = int(kernel.shape[-1])
     Wp = parts[0].shape[3] // H
-    assert parts[0].shape[3] == H * Wp and Wp == choose_wp(H, W)
+    assert parts[0].shape[3] == H * Wp and Wp >= W + 1 and Wp <= 255
     groups = (tuple(group_shifts(C, shift_size)) if do_shift
               else ((0, C, 0),))
     part_affine = tuple(a is not None for a in affines)

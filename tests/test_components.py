@@ -349,6 +349,70 @@ def test_dataset_converters(tmp_path, monkeypatch):
                                    "BraTS20_Training_001.nii.gz")).array
     assert conv[0, 0, 0] == 3 and conv[1, 1, 1] == 1
 
+    # LiTS-style source
+    lits = tmp_path / "lits"
+    lits.mkdir()
+    mk(lits / "volume-3.nii")
+    mk(lits / "segmentation-3.nii", seg=True)
+    out = tasks.convert_lits(str(lits))
+    assert os.path.isfile(os.path.join(out, "imagesTr",
+                                       "train_3_0000.nii.gz"))
+    assert os.path.isfile(os.path.join(out, "labelsTr", "train_3.nii.gz"))
+
+    # ACDC-style source
+    acdc = tmp_path / "acdc" / "patient001"
+    acdc.mkdir(parents=True)
+    mk(acdc / "patient001_frame01.nii.gz")
+    mk(acdc / "patient001_frame01_gt.nii.gz", seg=True)
+    mk(acdc / "patient001_frame12.nii.gz")  # no gt -> skipped
+    out = tasks.convert_acdc(str(tmp_path / "acdc"))
+    assert os.path.isfile(os.path.join(
+        out, "imagesTr", "patient001_frame01_0000.nii.gz"))
+    assert not os.path.isfile(os.path.join(
+        out, "imagesTr", "patient001_frame12_0000.nii.gz"))
+
+    # SegTHOR-style source
+    st = tmp_path / "segthor" / "Patient_01"
+    st.mkdir(parents=True)
+    mk(st / "Patient_01.nii.gz")
+    mk(st / "GT.nii.gz", seg=True)
+    out = tasks.convert_segthor(str(tmp_path / "segthor"))
+    assert os.path.isfile(os.path.join(out, "labelsTr",
+                                       "Patient_01.nii.gz"))
+
+    # NIH pancreas source
+    pan = tmp_path / "pancreas"
+    (pan / "data").mkdir(parents=True)
+    (pan / "TCIA_pancreas_labels-02-05-2017").mkdir()
+    mk(pan / "data" / "PANCREAS_0001.nii.gz")
+    mk(pan / "TCIA_pancreas_labels-02-05-2017" / "label0001.nii.gz",
+       seg=True)
+    out = tasks.convert_nih_pancreas(str(pan))
+    assert os.path.isfile(os.path.join(out, "imagesTr",
+                                       "pancreas_0001_0000.nii.gz"))
+
+    # CovidSeg source (stacked 2D slices -> 5 pseudo-3D parts)
+    cov = tmp_path / "covid"
+    cov.mkdir()
+    arr = rng.rand(10, 5, 6).astype(np.float32)
+    write_nifti(str(cov / "tr_im.nii.gz"), NiftiImage(arr, (1, 1, 1)))
+    write_nifti(str(cov / "tr_mask.nii.gz"),
+                NiftiImage((arr > 0.5).astype(np.uint8), (1, 1, 1)))
+    out = tasks.convert_covidseg(str(cov))
+    p0 = read_nifti(os.path.join(out, "imagesTr",
+                                 "part_0_0000.nii.gz")).array
+    assert p0.shape == (2, 5, 6)
+    np.testing.assert_allclose(p0, arr[0::5])
+
+    # KiTS2021 source
+    k21 = tmp_path / "kits21"
+    (k21 / "case_00001").mkdir(parents=True)
+    mk(k21 / "case_00001" / "imaging.nii.gz")
+    mk(k21 / "case_00001" / "aggregated_MAJ_seg.nii.gz", seg=True)
+    out = tasks.convert_kits2021(str(k21))
+    assert os.path.isfile(os.path.join(out, "labelsTr",
+                                       "case_00001.nii.gz"))
+
 
 def test_device_augmenter():
     from e2enet_tpu.ops.device_augment import make_device_augmenter
