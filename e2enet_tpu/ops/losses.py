@@ -1,4 +1,7 @@
 """Segmentation losses: soft Dice + cross-entropy with deep supervision.
+TPU notes: tp/fp/fn use the sum identities (one product reduction) and CE
+contracts against the shared one-hot instead of gathering — the naive forms
+cost 82 ms/step at Heart geometry (fusion-duplicated reductions + gathers).
 
 Parity: reference e2enet/training/loss_functions/dice_loss.py
 (get_tp_fp_fn_tn :100-192, SoftDiceLoss :195-232, DC_and_CE_loss :302-359),
@@ -35,9 +38,13 @@ def get_tp_fp_fn_tn(probs: jnp.ndarray, target: jnp.ndarray,
         probs = probs * m
         y = y * m
     axes = tuple(range(0 if batch_dice else 1, probs.ndim - 1))
+    # fp = sum(p (1-y)) = sum(p) - tp; fn = sum((1-p) y) = sum(y) - tp:
+    # one product reduction instead of three (XLA loop fusions recompute
+    # the elementwise body once PER reduction — measured 82 ms/loss at
+    # production sizes with the naive form)
     tp = jnp.sum(probs * y, axis=axes)
-    fp = jnp.sum(probs * (1.0 - y), axis=axes)
-    fn = jnp.sum((1.0 - probs) * y, axis=axes)
+    fp = jnp.sum(probs, axis=axes) - tp
+    fn = jnp.sum(y, axis=axes) - tp
     return tp, fp, fn
 
 
@@ -61,8 +68,10 @@ def robust_cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
     nn.CrossEntropyLoss on long labels)."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32),
-                               axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis: per-voxel gathers are
+    # slow on TPU; the one_hot is shared (CSE) with the dice term
+    y = one_hot(target, logits.shape[-1])
+    nll = -jnp.sum(logp * y, axis=-1)
     if loss_mask is not None:
         m = loss_mask.astype(jnp.float32)
         return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
