@@ -115,7 +115,8 @@ class ShiftUNetPlusPlus(nn.Module):
         # ---------------- fused-layout machinery (ops/fused_block.py)
         from ..ops.fused_block import (apply_norm_lrelu_cf, choose_wp,
                                        from_padded_cf, fused_block_supported,
-                                       norm_affine_from_stats, to_padded_cf)
+                                       norm_affine_from_stats, pooled_part_cf,
+                                       to_padded_cf)
 
         level_size: List[Tuple[int, int, int]] = [tuple(
             int(s) for s in x.shape[1:4])]
@@ -180,11 +181,12 @@ class ShiftUNetPlusPlus(nn.Module):
                 _, H, W = level_size[d]
                 part, aff = as_part(as_cl(h, d) if not isinstance(h, Pending)
                                     else h, d)
-                out = Stack(features=enc[d],
-                            num_convs=self.num_conv_per_stage,
-                            fused=True, fused_hw=(H, W),
-                            fused_interpret=self.fused_interpret,
-                            name=f"context{d}", **common)(([part], [aff]))
+                # no remat around fused stacks (see node remat note)
+                out = StackedConvBlocks(
+                    features=enc[d], num_convs=self.num_conv_per_stage,
+                    fused=True, fused_hw=(H, W),
+                    fused_interpret=self.fused_interpret,
+                    name=f"context{d}", **common)(([part], [aff]))
                 h = Pending(*out)
             else:
                 h = Stack(features=enc[d],
@@ -207,26 +209,46 @@ class ShiftUNetPlusPlus(nn.Module):
         # each node (transpconv + implicit concat + fusion convs) is ONE
         # remat unit: only the node outputs (the x-grid) are kept for the
         # backward pass; up/concat/conv intermediates are recomputed
-        def node_fn(mdl, below, same, above, z, k, i):
-            _, H, W = level_size[i]
-            ch_same = enc[i]
-            ch_parts = (ch_same, enc[i]) if above is None else (
-                ch_same, enc[i], enc[i - 1])
-            use_fused = fused_ok(i, ch_parts, enc[i])
+        def node_parts(i, has_above):
+            return ((enc[i], enc[i]) if not has_above
+                    else (enc[i], enc[i], enc[i - 1]))
 
+        def up_fn(mdl, below, z, k, i, cf):
             up_mod = TranspConv(features=enc[i], stride=pools[i],
                                 compute_dtype=cd,
-                                cf_out=((H, W, level_wp[i])
-                                        if use_fused else None),
+                                cf_out=((level_size[i][1], level_size[i][2],
+                                         level_wp[i]) if cf else None),
                                 name=f"up{z}_{k}", parent=mdl)
-            up = up_mod(as_cl(below, i + 1))
+            return up_mod(as_cl(below, i + 1))
+
+        # fused nodes are NOT remat-wrapped: the fused op's custom-VJP
+        # residuals are its inputs and output, which the nest keeps anyway —
+        # replaying the kernels in the backward would only cost time. Only
+        # the up-link (transpconv + materialization) is rematerialized.
+        up_remat = (nn.remat(up_fn, static_argnums=(2, 3, 4, 5))
+                    if self.remat else up_fn)
+
+        def node_fn(mdl, below, same, above, z, k, i):
+            _, H, W = level_size[i]
+            use_fused = fused_ok(i, node_parts(i, above is not None),
+                                 enc[i])
+            up = (up_remat if use_fused else up_fn)(
+                mdl, below, z, k, i, use_fused)
 
             if use_fused:
                 p_same, a_same = as_part(same, i)
                 parts, affines = [p_same, up], [a_same, None]
                 if above is not None:
-                    down = max_pool(as_cl(above, i - 1), pools[i - 1])
-                    p_down, _ = as_part(down, i)
+                    if isinstance(above, Pending):
+                        # normalized + pooled down-link in ONE CF pass
+                        _, Hs, Ws = level_size[i - 1]
+                        mult, off = affine_of(above, i - 1)
+                        p_down = pooled_part_cf(above.raw, mult, off, Hs,
+                                                Ws, pools[i - 1],
+                                                level_wp[i])
+                    else:
+                        down = max_pool(as_cl(above, i - 1), pools[i - 1])
+                        p_down, _ = as_part(down, i)
                     parts.append(p_down)
                     affines.append(None)
                 fused_in = (parts, affines)
@@ -277,7 +299,12 @@ class ShiftUNetPlusPlus(nn.Module):
                 same = nodes[(i, j - 1)]
                 above = (nodes[(i - 1, j - 1)]
                          if (i > 0 and self.dense_fusion) else None)
-                nodes[(i, j)] = node(self, below, same, above, z, k, i)
+                # level-0 fused nodes skip the outer remat (residuals are
+                # their in/out tensors, kept anyway); deeper fused levels
+                # keep it — their extra saved tensors tip HBM over
+                fn = (node_fn if (i == 0 and fused_ok(
+                    i, node_parts(i, above is not None), enc[i])) else node)
+                nodes[(i, j)] = fn(self, below, same, above, z, k, i)
 
         # ---------------- deep supervision heads
         n_heads = self.num_ds_outputs()

@@ -959,6 +959,27 @@ def norm_affine_from_stats(stats: jnp.ndarray, n_vox: int,
     return mult, off
 
 
+def pooled_part_cf(x: jnp.ndarray, mult: jnp.ndarray, off: jnp.ndarray,
+                   H: int, W: int, window, out_wp: int) -> jnp.ndarray:
+    """Normalized + max-pooled down-link part, computed directly in the
+    padded channels-first layout: lrelu(x*mult+off) -> maxpool(window) ->
+    re-pad. ONE fused XLA pass over the source level (the channels-last
+    route costs three relayout passes: materialize CL, pool, convert back).
+    x: (N, D, C, H*Wp) pending raw; mult/off (N, C). Padding columns may be
+    nonzero in x (they are masked out by the slice)."""
+    N, D, C, HWp = x.shape
+    Wp = HWp // H
+    wd, wh, ww = window
+    a = (x.astype(jnp.float32) * mult[:, None, :, None]
+         + off[:, None, :, None])
+    a = jnp.maximum(a, a * LRELU_SLOPE).astype(x.dtype)
+    a = a.reshape(N, D, C, H, Wp)[..., :W]
+    a = a.reshape(N, D // wd, wd, C, H // wh, wh, W // ww, ww)
+    a = jnp.max(a, axis=(2, 5, 7))                  # (N, D2, C, H2, W2)
+    a = jnp.pad(a, ((0, 0),) * 4 + ((0, out_wp - W // ww),))
+    return a.reshape(N, D // wd, C, (H // wh) * out_wp)
+
+
 def apply_norm_lrelu_cf(x: jnp.ndarray, mult: jnp.ndarray, off: jnp.ndarray,
                         colmask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Materialize a pending normalization (for non-fused consumers):
