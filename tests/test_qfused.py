@@ -1,0 +1,222 @@
+"""Quadrant (space-to-depth) fused block (ops/qfused.py): table invariants,
+layout round-trips, forward parity vs the channels-last oracle, and gradient
+parity of the Pallas backward (interpret mode) vs autodiff of the XLA
+reference."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2enet_tpu.ops import blocks, qfused
+from e2enet_tpu.ops.qfused import (QStatic, choose_wqp, from_quadrant_cf,
+                                   make_tables, quadrant_block_max_cl,
+                                   quadrant_fused_block, quadrant_norm_affine,
+                                   to_quadrant_cf, transp_conv_quadrant)
+from e2enet_tpu.ops.shift import depth_shift, group_shifts
+
+QS = [(2, 2, 2), (1, 2, 2), (2, 1, 1), (2, 2, 1)]
+
+
+def _mk(key, shape, scale=1.0):
+    return jax.random.normal(key, shape, jnp.float32) * scale
+
+
+def _static(q, parts, affine, C_tot, shape, CO, shift=True, stats=True):
+    D, H, W = shape
+    qd, qh, qw = q
+    Hq, Wq = H // qh, W // qw
+    Wqp = choose_wqp(Hq, Wq)
+    groups = (tuple(group_shifts(C_tot, 5)) if shift else ((0, C_tot, 0),))
+    return QStatic(q, tuple(parts), tuple(affine), groups, D // qd,
+                   Hq, Wq, Wqp, CO, stats, True)
+
+
+@pytest.mark.parametrize("q", QS)
+def test_tables_invariants(q):
+    s = _static(q, (5, 3), (True, False), 8, (4, 8, 8), 6)
+    t = make_tables(s)
+    Q = q[0] * q[1] * q[2]
+    C_tot = 8
+    # FLOPs preserved: sum of dot K == Q blocks x 9 taps x C_tot
+    sumK = sum(e.k_hi - e.k_lo for _, dots in t.out_dots for e in dots)
+    assert sumK == Q * 9 * C_tot
+    assert t.w_index.shape == (sumK,)
+    # every sref row assembled exactly once
+    rows = sorted((e.dst_lo, e.dst_lo + e.src_hi - e.src_lo)
+                  for e in t.copies)
+    cur = 0
+    for lo, hi in rows:
+        assert lo == cur
+        cur = hi
+    assert cur == Q * C_tot
+    # every physical source row read exactly once per part
+    for p, cp in enumerate(s.part_channels):
+        src = sorted((e.src_lo, e.src_hi) for e in t.copies if e.part == p)
+        cur = 0
+        for lo, hi in src:
+            assert lo == cur
+            cur = hi
+        assert cur == Q * cp
+    # wgrad taps cover every arranged weight row once
+    covered = []
+    for blk, taps in t.wgrad_blocks:
+        for off, w_lo, out_lo in taps:
+            covered.append((w_lo, w_lo + C_tot))
+    covered.sort()
+    cur = 0
+    for lo, hi in covered:
+        assert lo == cur
+        cur = hi
+    assert cur == sumK
+    assert t.max_dd <= (1 if q[0] == 2 else 2)
+
+
+@pytest.mark.parametrize("q", QS)
+def test_quadrant_roundtrip(q):
+    x = _mk(jax.random.PRNGKey(0), (2, 4, 8, 6, 5))
+    Wqp = choose_wqp(8 // q[1], 6 // q[2])
+    xq = to_quadrant_cf(x, q, Wqp)
+    back = from_quadrant_cf(xq, q, 8 // q[1], 6 // q[2], 5)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def _oracle_cl(x_cl, wk, b, shift=True):
+    if shift:
+        x_cl = depth_shift(x_cl, 5)
+    return blocks.conv3d_as_2d(x_cl, wk, b, (1, 1, 1),
+                               compute_dtype=x_cl.dtype)
+
+
+@pytest.mark.parametrize("q", QS)
+@pytest.mark.parametrize("shift", [True, False])
+def test_fwd_single_part(q, shift):
+    N, D, H, W, C, CO = 2, 4, 8, 6, 5, 4
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = _mk(ks[0], (N, D, H, W, C))
+    wk = _mk(ks[1], (3, 3, C, CO), 0.3)
+    b = _mk(ks[2], (CO,), 0.1)
+    ref = _oracle_cl(x, wk, b, shift)
+
+    Hq, Wq = H // q[1], W // q[2]
+    Wqp = choose_wqp(Hq, Wq)
+    xq = to_quadrant_cf(x, q, Wqp)
+    y, stats = quadrant_fused_block([xq], wk, b, [None], q, Hq, Wq,
+                                    do_shift=shift, interpret=True)
+    y_cl = from_quadrant_cf(y, q, Hq, Wq, CO)
+    np.testing.assert_allclose(np.asarray(y_cl), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    yf = np.asarray(y_cl, np.float64)
+    Q = q[0] * q[1] * q[2]
+    s_log = np.asarray(stats).reshape(N, Q, CO, 2).sum(1)
+    np.testing.assert_allclose(s_log[..., 0], yf.sum((1, 2, 3)),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(s_log[..., 1], (yf ** 2).sum((1, 2, 3)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fwd_multipart_affine():
+    """Two parts (one pending-norm affine, one raw) == concat oracle with
+    the affine+lrelu pre-applied; C=1 second part exercises tiny parts."""
+    q = (2, 2, 2)
+    N, D, H, W, CO = 2, 4, 8, 6, 7
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    xa = _mk(ks[0], (N, D, H, W, 5))
+    xb = _mk(ks[1], (N, D, H, W, 1))
+    wk = _mk(ks[2], (3, 3, 6, CO), 0.3)
+    b = _mk(ks[3], (CO,), 0.1)
+    mult = _mk(ks[4], (N, 5), 0.5) + 1.0
+    off = _mk(ks[5], (N, 5), 0.2)
+
+    an = xa * mult[:, None, None, None, :] + off[:, None, None, None, :]
+    an = jnp.maximum(an, an * 0.01)
+    ref = _oracle_cl(jnp.concatenate([an, xb], -1), wk, b)
+
+    Hq, Wq = H // 2, W // 2
+    Wqp = choose_wqp(Hq, Wq)
+    parts = [to_quadrant_cf(xa, q, Wqp), to_quadrant_cf(xb, q, Wqp)]
+    y, _ = quadrant_fused_block(parts, wk, b, [(mult, off), None],
+                                q, Hq, Wq, interpret=True)
+    np.testing.assert_allclose(np.asarray(from_quadrant_cf(y, q, Hq, Wq, CO)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("q", [(2, 2, 2), (1, 2, 2)])
+def test_backward_matches_xla_reference(q):
+    """Full gradient parity (parts, kernel, bias, affines) between the
+    Pallas backward kernel (interpret) and autodiff of the XLA reference,
+    with nonzero cotangents on BOTH outputs (y and stats)."""
+    N, D, H, W, CO = 2, 4, 8, 6, 4
+    Ca, Cb = 5, 3
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    xa = _mk(ks[0], (N, D, H, W, Ca))
+    xb = _mk(ks[1], (N, D, H, W, Cb))
+    wk = _mk(ks[2], (3, 3, Ca + Cb, CO), 0.3)
+    b = _mk(ks[3], (CO,), 0.1)
+    mult = _mk(ks[4], (N, Ca), 0.5) + 1.0
+    off = _mk(ks[5], (N, Ca), 0.2)
+
+    Hq, Wq = H // q[1], W // q[2]
+    Wqp = choose_wqp(Hq, Wq)
+    pa = to_quadrant_cf(xa, q, Wqp)
+    pb = to_quadrant_cf(xb, q, Wqp)
+    Q = q[0] * q[1] * q[2]
+    r1 = _mk(ks[6], (N, D // q[0], Q * CO, Hq * Wqp))
+    r2 = _mk(ks[7], (N, Q * CO, 2), 0.01)
+
+    def loss(use_pallas, pa, pb, wk, b, mult, off):
+        y, stats = quadrant_fused_block(
+            [pa, pb], wk, b, [(mult, off), None], q, Hq, Wq,
+            use_pallas=use_pallas, interpret=True)
+        return jnp.sum(y.astype(jnp.float32) * r1) + jnp.sum(stats * r2)
+
+    args = (pa, pb, wk, b, mult, off)
+    g_ref = jax.grad(lambda *a: loss(False, *a), argnums=tuple(range(6)))(
+        *args)
+    g_pal = jax.grad(lambda *a: loss(True, *a), argnums=tuple(range(6)))(
+        *args)
+    names = ["pa", "pb", "wk", "b", "mult", "off"]
+    for nm, gr, gp in zip(names, g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4, err_msg=nm)
+
+
+def test_transp_conv_quadrant_matches_matmul():
+    from e2enet_tpu.ops.blocks import transp_conv_matmul
+    q = (2, 2, 2)
+    N, Dq, Hq, Wq, Cin, Cout = 2, 3, 4, 6, 5, 4
+    ks = jax.random.split(jax.random.PRNGKey(4), 2)
+    x = _mk(ks[0], (N, Dq, Hq, Wq, Cin))
+    k = _mk(ks[1], (2, 2, 2, Cin, Cout), 0.3)
+    ref = transp_conv_matmul(x, k, (2, 2, 2), compute_dtype=jnp.float32)
+    Wqp = choose_wqp(Hq, Wq)
+    yq = transp_conv_quadrant(x, k, q, Wqp, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(from_quadrant_cf(yq, q, Hq, Wq, Cout)),
+        np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_block_max_and_norm_affine():
+    """Down-link: pending-norm apply + block max == channels-last
+    instance-norm + lrelu + max_pool; norm affine folded from per-physical-
+    row stats == logical instance norm."""
+    q = (2, 2, 2)
+    N, D, H, W, C = 2, 4, 8, 6, 5
+    x = _mk(jax.random.PRNGKey(5), (N, D, H, W, C))
+    scale = _mk(jax.random.PRNGKey(6), (C,), 0.3) + 1.0
+    nbias = _mk(jax.random.PRNGKey(7), (C,), 0.2)
+
+    ref_norm = blocks.instance_norm(x, scale, nbias)
+    ref = blocks.max_pool(blocks.leaky_relu(ref_norm), q)
+
+    Hq, Wq = H // 2, W // 2
+    Wqp = choose_wqp(Hq, Wq)
+    xq = to_quadrant_cf(x, q, Wqp)
+    cm = qfused.quadrant_colmask(Hq, Wq, Wqp)
+    xf = xq.astype(jnp.float32) * cm
+    s1 = jnp.sum(xf, axis=(1, 3))
+    s2 = jnp.sum(xf * xf, axis=(1, 3))
+    stats = jnp.stack([s1, s2], -1)                      # (N, Q*C, 2)
+    mult, off = quadrant_norm_affine(stats, 8, D * H * W, scale, nbias)
+    got = quadrant_block_max_cl(xq, mult, off, q, Hq, Wq, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
