@@ -41,6 +41,16 @@ class Pending(NamedTuple):
     nbias: jnp.ndarray    # (C,) norm_bias param
 
 
+class QPending(NamedTuple):
+    """Pending output of a QUADRANT fused block (ops/qfused.py): level-0
+    data stored in level-1 geometry with Q = prod(pools[0]) times the
+    channels, (N, Dq, Q*C, Hq*Wqp); stats are per PHYSICAL row."""
+    raw: jnp.ndarray
+    stats: jnp.ndarray    # (N, Q*C, 2)
+    scale: jnp.ndarray
+    nbias: jnp.ndarray
+
+
 def encoder_channels(base: int, num_pool: int, max_features: int,
                      feat_mul: int = 2) -> List[int]:
     """Output channels per level 0..num_pool (incl. bottleneck)."""
@@ -73,6 +83,11 @@ class ShiftUNetPlusPlus(nn.Module):
     # levels have tiny depth-rows where per-step kernel overhead loses to
     # XLA; levels 0-1 carry ~95% of the compute.
     fused_max_level: int = 1
+    # store level-0 tensors in level-1 geometry with prod(pools[0]) x the
+    # channels (space-to-depth) and run level 0 through the quadrant fused
+    # kernels (ops/qfused.py): kills the transpconv depth-to-space relayout,
+    # turns nest down-links into block-max, K-merges the conv dots.
+    quadrant: bool = True
 
     @property
     def num_pool(self) -> int:
@@ -117,6 +132,10 @@ class ShiftUNetPlusPlus(nn.Module):
                                        from_padded_cf, fused_block_supported,
                                        norm_affine_from_stats, pooled_part_cf,
                                        to_padded_cf)
+        from ..ops.qfused import (choose_wqp, from_quadrant_cf,
+                                  quadrant_apply_norm_lrelu,
+                                  quadrant_block_max_cl, quadrant_norm_affine,
+                                  quadrant_supported, to_quadrant_cf)
 
         level_size: List[Tuple[int, int, int]] = [tuple(
             int(s) for s in x.shape[1:4])]
@@ -144,6 +163,35 @@ class ShiftUNetPlusPlus(nn.Module):
             _, H, W = level_size[i]
             return fused_block_supported(part_channels, H, W, co)
 
+        # ---------------- quadrant (space-to-depth) level 0
+        q0 = pools[0]
+        Q0 = int(np.prod(q0))
+        Hq0, Wq0 = level_size[1][1], level_size[1][2]
+        use_quad = (self.fused and self.quadrant
+                    and self.conv_kernel == (1, 3, 3)
+                    and Q0 > 1 and all(k in (1, 2) for k in q0)
+                    and (cd == jnp.bfloat16 or self.fused_interpret))
+        wqp0 = 0
+        if use_quad:
+            try:
+                wqp0 = choose_wqp(Hq0, Wq0)
+            except AssertionError:
+                use_quad = False
+
+        def quad_ok(part_channels, co):
+            return (use_quad
+                    and quadrant_supported(q0, part_channels, Hq0, Wq0, co))
+
+        def q_affine_of(v: QPending):
+            return quadrant_norm_affine(v.stats, Q0, n_vox(0), v.scale,
+                                        v.nbias)
+
+        def q_as_part(v):
+            """(quadrant tensor, pending_affine) for quadrant consumption."""
+            if isinstance(v, QPending):
+                return v.raw, q_affine_of(v)
+            return to_quadrant_cf(as_cl(v, 0), q0, wqp0), None
+
         def n_vox(i):
             d, h, w = level_size[i]
             return d * h * w
@@ -157,10 +205,18 @@ class ShiftUNetPlusPlus(nn.Module):
             if isinstance(v, Pending):
                 return v.raw, affine_of(v, i)
             _, H, W = level_size[i]
+            if isinstance(v, QPending):     # quadrant -> plain CF fallback
+                v = as_cl(v, i)
             return to_padded_cf(v, W, level_wp[i]), None
 
         def as_cl(v, i):
             """Materialize channels-last (one affine+lrelu+relayout pass)."""
+            if isinstance(v, QPending):
+                mult, off = q_affine_of(v)
+                y = quadrant_apply_norm_lrelu(v.raw, mult, off)
+                # padding columns hold lrelu(off) garbage; the slice in
+                # from_quadrant_cf drops them
+                return from_quadrant_cf(y, q0, Hq0, Wq0, mult.shape[-1])
             if not isinstance(v, Pending):
                 return v
             _, H, W = level_size[i]
@@ -177,7 +233,15 @@ class ShiftUNetPlusPlus(nn.Module):
         for d in range(P):
             stride = pools[d - 1] if d > 0 else (1, 1, 1)
             cin = (self.input_channels if d == 0 else enc[d - 1])
-            if stride == (1, 1, 1) and fused_ok(d, (cin,), enc[d]):
+            if d == 0 and quad_ok((cin,), enc[0]):
+                xq = to_quadrant_cf(x, q0, wqp0)
+                out = StackedConvBlocks(
+                    features=enc[0], num_convs=self.num_conv_per_stage,
+                    fused=True, fused_hw=(Hq0, Wq0), fused_q=q0,
+                    fused_interpret=self.fused_interpret,
+                    name="context0", **common)(([xq], [None]))
+                h = QPending(*out)
+            elif stride == (1, 1, 1) and fused_ok(d, (cin,), enc[d]):
                 _, H, W = level_size[d]
                 part, aff = as_part(as_cl(h, d) if not isinstance(h, Pending)
                                     else h, d)
@@ -214,10 +278,13 @@ class ShiftUNetPlusPlus(nn.Module):
                     else (enc[i], enc[i], enc[i - 1]))
 
         def up_fn(mdl, below, z, k, i, cf):
+            # cf: False = channels-last, True = padded CF, "quad" = quadrant
             up_mod = TranspConv(features=enc[i], stride=pools[i],
                                 compute_dtype=cd,
                                 cf_out=((level_size[i][1], level_size[i][2],
-                                         level_wp[i]) if cf else None),
+                                         level_wp[i]) if cf is True
+                                        else None),
+                                q_out=(wqp0 if cf == "quad" else None),
                                 name=f"up{z}_{k}", parent=mdl)
             return up_mod(as_cl(below, i + 1))
 
@@ -228,18 +295,55 @@ class ShiftUNetPlusPlus(nn.Module):
         up_remat = (nn.remat(up_fn, static_argnums=(2, 3, 4, 5))
                     if self.remat else up_fn)
 
+        def down_link_cl(above, i):
+            """Channels-last pooled down link from x(i-1, j-1)."""
+            if isinstance(above, QPending):
+                # the pool window IS the quadrant factors: block-max
+                multq, offq = q_affine_of(above)
+                return quadrant_block_max_cl(above.raw, multq, offq, q0,
+                                             Hq0, Wq0, enc[0])
+            return max_pool(as_cl(above, i - 1), pools[i - 1])
+
         def node_fn(mdl, below, same, above, z, k, i):
             _, H, W = level_size[i]
-            use_fused = fused_ok(i, node_parts(i, above is not None),
-                                 enc[i])
-            up = (up_remat if use_fused else up_fn)(
-                mdl, below, z, k, i, use_fused)
+            use_quad = (i == 0
+                        and quad_ok(node_parts(i, above is not None),
+                                    enc[i]))
+            use_fused = (not use_quad) and fused_ok(
+                i, node_parts(i, above is not None), enc[i])
+            mode = "quad" if use_quad else use_fused
+            up = (up_remat if (use_fused or use_quad) else up_fn)(
+                mdl, below, z, k, i, mode)
+
+            if use_quad:
+                p_same, a_same = q_as_part(same)
+                parts, affines = [p_same, up], [a_same, None]
+                out = StackedConvBlocks(
+                    features=enc[i], num_convs=self.num_conv_per_stage - 1,
+                    fused=True, fused_hw=(Hq0, Wq0), fused_q=q0,
+                    fused_interpret=self.fused_interpret,
+                    name=f"loc{z}_{k}", parent=mdl, **common)(
+                        (parts, affines))
+                if z == 0:
+                    raw, stats, scale, nbias = out
+                    mult, off = quadrant_norm_affine(stats, Q0, n_vox(0),
+                                                     scale, nbias)
+                    out = StackedConvBlocks(
+                        features=enc[i], num_convs=1, fused=True,
+                        fused_hw=(Hq0, Wq0), fused_q=q0,
+                        fused_interpret=self.fused_interpret,
+                        name=f"loc{z}_{k}_final", parent=mdl,
+                        **common)(([raw], [(mult, off)]))
+                return QPending(*out)
 
             if use_fused:
                 p_same, a_same = as_part(same, i)
                 parts, affines = [p_same, up], [a_same, None]
                 if above is not None:
-                    if isinstance(above, Pending):
+                    if isinstance(above, QPending):
+                        down = down_link_cl(above, i)
+                        p_down, _ = as_part(down, i)
+                    elif isinstance(above, Pending):
                         # normalized + pooled down-link in ONE CF pass
                         _, Hs, Ws = level_size[i - 1]
                         mult, off = affine_of(above, i - 1)
@@ -271,7 +375,7 @@ class ShiftUNetPlusPlus(nn.Module):
 
             cat = [as_cl(same, i), up]
             if above is not None:
-                cat.append(max_pool(as_cl(above, i - 1), pools[i - 1]))
+                cat.append(down_link_cl(above, i))
             # parts list: the first conv computes conv(shift(concat))
             # without materializing the wide concat
             fused = cat
@@ -299,18 +403,30 @@ class ShiftUNetPlusPlus(nn.Module):
                 same = nodes[(i, j - 1)]
                 above = (nodes[(i - 1, j - 1)]
                          if (i > 0 and self.dense_fusion) else None)
-                # level-0 fused nodes skip the outer remat (residuals are
-                # their in/out tensors, kept anyway); deeper fused levels
-                # keep it — their extra saved tensors tip HBM over
-                fn = (node_fn if (i == 0 and fused_ok(
-                    i, node_parts(i, above is not None), enc[i])) else node)
+                # level-0 fused/quadrant nodes skip the outer remat
+                # (residuals are their in/out tensors, kept anyway); deeper
+                # fused levels keep it — their extra saved tensors tip HBM
+                fn = (node_fn if (i == 0 and (
+                    quad_ok(node_parts(i, above is not None), enc[i])
+                    or fused_ok(i, node_parts(i, above is not None),
+                                enc[i]))) else node)
                 nodes[(i, j)] = fn(self, below, same, above, z, k, i)
 
         # ---------------- deep supervision heads
         n_heads = self.num_ds_outputs()
         outputs = []
         for i in range(n_heads):
-            head_in = as_cl(nodes[(i, P - i)], i)
+            v = nodes[(i, P - i)]
+            if isinstance(v, QPending):
+                # per-block 1x1 conv; only the logits get de-quadrantized
+                mult, off = q_affine_of(v)
+                xq = quadrant_apply_norm_lrelu(v.raw, mult, off)
+                outputs.append(SegHead(num_classes=self.num_classes,
+                                       compute_dtype=cd,
+                                       quadrant=(q0, Hq0, Wq0),
+                                       name=f"seg_head{i}")(xq))
+                continue
+            head_in = as_cl(v, i)
             outputs.append(SegHead(num_classes=self.num_classes,
                                    compute_dtype=cd,
                                    name=f"seg_head{i}")(head_in))

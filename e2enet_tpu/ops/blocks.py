@@ -217,6 +217,10 @@ class ShiftConvBlock(nn.Module):
     fused: bool = False                 # run the Pallas fused-block kernel
     fused_hw: Optional[Tuple[int, int]] = None   # static (H, W) when fused
     fused_interpret: bool = False
+    # quadrant (space-to-depth) fused kernel (ops/qfused.py): inputs are in
+    # the level-below geometry with q-times the channels. fused_q = the
+    # quadrant factors (qd, qh, qw); fused_hw is then (Hq, Wq).
+    fused_q: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(self, x):
@@ -234,11 +238,14 @@ class ShiftConvBlock(nn.Module):
         normalization is NOT applied; consumers apply it on load. Parameter
         shapes/names are identical in both modes (checkpoint interop)."""
         if self.fused:
-            from .fused_block import fused_shift_conv_block
             parts, affines = x
             H, W = self.fused_hw
             assert self.kernel == (1, 3, 3) and self.stride == (1, 1, 1)
-            cin = sum(int(p.shape[2]) for p in parts)
+            if self.fused_q is not None:
+                Q = int(np.prod(self.fused_q))
+                cin = sum(int(p.shape[2]) // Q for p in parts)
+            else:
+                cin = sum(int(p.shape[2]) for p in parts)
             kernel = self.param("kernel", he_normal_leaky(),
                                 (3, 3, cin, self.features))
             bias = self.param("bias", nn.initializers.zeros,
@@ -247,11 +254,21 @@ class ShiftConvBlock(nn.Module):
                                (self.features,))
             nbias = self.param("norm_bias", nn.initializers.zeros,
                                (self.features,))
-            y, stats = fused_shift_conv_block(
-                parts, kernel.astype(self.compute_dtype),
-                bias.astype(self.compute_dtype), affines, H, W,
-                shift_size=self.shift_size, do_shift=self.do_shift,
-                interpret=self.fused_interpret)
+            if self.fused_q is not None:
+                from .qfused import quadrant_fused_block
+                y, stats = quadrant_fused_block(
+                    parts, kernel.astype(self.compute_dtype),
+                    bias.astype(self.compute_dtype), affines,
+                    self.fused_q, H, W,
+                    shift_size=self.shift_size, do_shift=self.do_shift,
+                    interpret=self.fused_interpret)
+            else:
+                from .fused_block import fused_shift_conv_block
+                y, stats = fused_shift_conv_block(
+                    parts, kernel.astype(self.compute_dtype),
+                    bias.astype(self.compute_dtype), affines, H, W,
+                    shift_size=self.shift_size, do_shift=self.do_shift,
+                    interpret=self.fused_interpret)
             return y, stats, scale, nbias
 
         kd, kh, kw = self.kernel
@@ -311,6 +328,7 @@ class StackedConvBlocks(nn.Module):
     fused: bool = False
     fused_hw: Optional[Tuple[int, int]] = None
     fused_interpret: bool = False
+    fused_q: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(self, x):
@@ -321,26 +339,33 @@ class StackedConvBlocks(nn.Module):
         through their instance-norm STATISTICS: block i's norm + lrelu is
         applied on load by block i+1 (ops/fused_block.py). Returns the
         final block's (raw, stats, norm_scale, norm_bias) pending
-        normalization."""
+        normalization. fused_q: quadrant layout (ops/qfused.py)."""
         if self.fused:
             from .fused_block import norm_affine_from_stats
+            from .qfused import quadrant_norm_affine
             parts, affines = x
             H, W = self.fused_hw
             assert self.first_stride == (1, 1, 1)
             D = int(parts[0].shape[1])
-            n_vox = D * H * W
+            Q = (int(np.prod(self.fused_q))
+                 if self.fused_q is not None else 1)
+            n_vox = D * H * W * Q       # logical voxel count per channel
             out = None
             for i in range(self.num_convs):
                 if out is not None:
                     raw, stats, scale, nbias = out
-                    mult, off = norm_affine_from_stats(stats, n_vox,
-                                                       scale, nbias)
+                    if self.fused_q is not None:
+                        mult, off = quadrant_norm_affine(stats, Q, n_vox,
+                                                         scale, nbias)
+                    else:
+                        mult, off = norm_affine_from_stats(stats, n_vox,
+                                                           scale, nbias)
                     parts, affines = [raw], [(mult, off)]
                 out = ShiftConvBlock(
                     features=self.features, kernel=self.kernel,
                     shift_size=self.shift_size, do_shift=self.do_shift,
                     compute_dtype=self.compute_dtype, fused=True,
-                    fused_hw=self.fused_hw,
+                    fused_hw=self.fused_hw, fused_q=self.fused_q,
                     fused_interpret=self.fused_interpret,
                     name=f"block{i}")((parts, affines))
             return out
@@ -358,11 +383,15 @@ class StackedConvBlocks(nn.Module):
 class TranspConv(nn.Module):
     """Transposed conv, kernel == stride, no bias (unetpp_d.py:521-522).
     cf_out=(H, W, Wp): emit the padded channels-first flat layout for the
-    fused block kernels instead of channels-last."""
+    fused block kernels instead of channels-last.
+    q_out=Wqp: emit the QUADRANT layout (ops/qfused.py) — since kernel ==
+    stride == the quadrant factors, the matmul's output columns ARE the
+    quadrant blocks: no depth-to-space relayout at all."""
     features: int
     stride: Tuple[int, int, int]
     compute_dtype: jnp.dtype = jnp.bfloat16
     cf_out: Optional[Tuple[int, int, int]] = None
+    q_out: Optional[int] = None          # Wqp of the quadrant layout
 
     @nn.compact
     def __call__(self, x):
@@ -370,6 +399,10 @@ class TranspConv(nn.Module):
         sd, sh, sw = self.stride
         kernel = self.param("kernel", he_normal_leaky(),
                             (sd, sh, sw, cin, self.features))
+        if self.q_out is not None:
+            from .qfused import transp_conv_quadrant
+            return transp_conv_quadrant(x, kernel, self.stride, self.q_out,
+                                        self.compute_dtype)
         if self.cf_out is not None:
             H, W, Wp = self.cf_out
             return transp_conv_matmul_cf(x, kernel, self.stride, W, Wp,
@@ -379,12 +412,33 @@ class TranspConv(nn.Module):
 
 class SegHead(nn.Module):
     """1x1x1 conv, no bias (seg_output_use_bias=False, unetpp_d.py:394-401).
-    Output logits in float32."""
+    Output logits in float32.
+    quadrant=(q, Hq, Wq): input is quadrant channels-first (N, Dq, Q*C, L);
+    the 1x1 conv runs per block and only the (num_classes)-channel logits
+    are de-quadrantized to channels-last — 16x less relayout traffic than
+    materializing the feature tensor."""
     num_classes: int
     compute_dtype: jnp.dtype = jnp.bfloat16
+    quadrant: Optional[Tuple[Tuple[int, int, int], int, int]] = None
 
     @nn.compact
     def __call__(self, x):
+        if self.quadrant is not None:
+            from .qfused import from_quadrant_cf
+            q, Hq, Wq = self.quadrant
+            Q = int(np.prod(q))
+            N, Dq, QC, L = x.shape
+            cin = QC // Q
+            kernel = self.param("kernel", he_normal_leaky(),
+                                (cin, self.num_classes))
+            xb = x.reshape(N, Dq, Q, cin, L).astype(self.compute_dtype)
+            y = jnp.einsum("ndqcl,ck->ndqkl", xb,
+                           kernel.astype(self.compute_dtype),
+                           preferred_element_type=jnp.float32,
+                           precision=_precision_for(self.compute_dtype))
+            y = y.reshape(N, Dq, Q * self.num_classes, L)
+            return from_quadrant_cf(y, q, Hq, Wq,
+                                    self.num_classes).astype(jnp.float32)
         cin = x.shape[-1]
         kernel = self.param("kernel", he_normal_leaky(), (cin, self.num_classes))
         y = jnp.dot(x.astype(self.compute_dtype),

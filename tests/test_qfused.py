@@ -220,3 +220,59 @@ def test_block_max_and_norm_affine():
     got = quadrant_block_max_cl(xq, mult, off, q, Hq, Wq, C)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_model_quadrant_matches_xla_path():
+    """ShiftUNetPlusPlus(fused + quadrant, interpret) == the XLA path with
+    identical params (checkpoint interop): level 0 runs the quadrant
+    kernels, level 1 the round-2 fused kernels."""
+    from e2enet_tpu.models.unetpp import ShiftUNetPlusPlus
+
+    kw = dict(input_channels=1, num_classes=3,
+              pool_op_kernel_sizes=((2, 2, 2), (2, 2, 2)),
+              base_num_features=4, compute_dtype=jnp.float32, remat=False)
+    m_ref = ShiftUNetPlusPlus(**kw, quadrant=False)
+    m_q = ShiftUNetPlusPlus(**kw, fused=True, fused_interpret=True,
+                            quadrant=True)
+
+    x = _mk(jax.random.PRNGKey(10), (1, 8, 8, 16, 1))
+    params = m_ref.init(jax.random.PRNGKey(11), x)
+    p2 = m_q.init(jax.random.PRNGKey(11), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+
+    outs_ref = m_ref.apply(params, x)
+    outs_q = m_q.apply(params, x)
+    assert len(outs_ref) == len(outs_q)
+    for a, b in zip(outs_ref, outs_q):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4)
+
+
+def test_model_quadrant_grad_matches():
+    """Gradients through the quadrant model (Pallas bwd kernels in
+    interpret mode + up-link remat) match the standard XLA path."""
+    from e2enet_tpu.models.unetpp import ShiftUNetPlusPlus
+
+    kw = dict(input_channels=1, num_classes=2,
+              pool_op_kernel_sizes=((2, 2, 2),),
+              base_num_features=4, compute_dtype=jnp.float32, remat=True)
+    m_ref = ShiftUNetPlusPlus(**kw, quadrant=False)
+    m_q = ShiftUNetPlusPlus(**kw, fused=True, fused_interpret=True,
+                            quadrant=True)
+    x = _mk(jax.random.PRNGKey(12), (1, 4, 8, 16, 1))
+    params = m_ref.init(jax.random.PRNGKey(13), x)
+
+    def loss(m):
+        def f(p):
+            outs = m.apply(p, x)
+            return sum(jnp.sum(o * o) for o in outs)
+        return f
+
+    g_ref = jax.grad(loss(m_ref))(params)
+    g_q = jax.grad(loss(m_q))(params)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_q, _ = jax.tree_util.tree_flatten(g_q)
+    for a, b in zip(flat_r, flat_q):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-2, atol=1e-3)
