@@ -57,17 +57,18 @@ def test_tables_invariants(q):
             assert lo == cur
             cur = hi
         assert cur == Q * cp
-    # wgrad taps cover every arranged weight row once
-    covered = []
-    for blk, taps in t.wgrad_blocks:
-        for off, w_lo, out_lo in taps:
-            covered.append((w_lo, w_lo + C_tot))
-    covered.sort()
-    cur = 0
-    for lo, hi in covered:
-        assert lo == cur
-        cur = hi
-    assert cur == sumK
+    # wgrad taps accumulate LOGICAL weight rows: every (dh, dw) run gets
+    # contributions from all Q blocks, with exactly one initializing writer
+    n_taps = 0
+    firsts = []
+    for slab_copies, taps in t.wgrad_blocks:
+        for off, w_lo, out_lo, first in taps:
+            assert w_lo % C_tot == 0 and 0 <= w_lo < 9 * C_tot
+            n_taps += 1
+            if first:
+                firsts.append(w_lo)
+    assert n_taps == Q * 9
+    assert sorted(firsts) == [i * C_tot for i in range(9)]
     assert t.max_dd <= (1 if q[0] == 2 else 2)
 
 
