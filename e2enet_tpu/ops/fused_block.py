@@ -425,15 +425,19 @@ def _bwd_kernel(*refs, part_channels, part_channels_log, part_affine,
 
             # bias grad (f32 accumulation of the bf16 row)
             s1 = jnp.sum(geb.astype(jnp.float32), axis=1,
+            # WINDOW-RELATIVE index below: the (n,0,0) index map already
+            # selects this sample's block; [n] wrote OOB for n >= 1
+            # (latent round-2 bug; interpret mode clamps OOB indices so
+            # CPU tests never caught it — PERF_NOTES round-3)
                          keepdims=True)                   # (CO, 1)
 
             @pl.when(e == 0)
             def _():
-                gb_ref[n, :, 0:1] = s1
+                gb_ref[0, :, 0:1] = s1
 
             @pl.when(e != 0)
             def _():
-                gb_ref[n, :, 0:1] += s1
+                gb_ref[0, :, 0:1] += s1
 
             # ct[e] = conv_T(gy_eff[e]): flipped taps, channel-transposed.
             # Accumulate in VMEM scratch — a value chain of (C, HWp) f32
@@ -524,13 +528,13 @@ def _bwd_kernel(*refs, part_channels, part_channels_log, part_affine,
 
                     @pl.when(dd == 0)
                     def _(p=p, l0=l0, l1=l1, gm=gm, go=go):
-                        gaffs[aff_idx[p]][n, l0:l1, 0:1] = gm
-                        gaffs[aff_idx[p]][n, l0:l1, 1:2] = go
+                        gaffs[aff_idx[p]][0, l0:l1, 0:1] = gm
+                        gaffs[aff_idx[p]][0, l0:l1, 1:2] = go
 
                     @pl.when(dd != 0)
                     def _(p=p, l0=l0, l1=l1, gm=gm, go=go):
-                        gaffs[aff_idx[p]][n, l0:l1, 0:1] += gm
-                        gaffs[aff_idx[p]][n, l0:l1, 1:2] += go
+                        gaffs[aff_idx[p]][0, l0:l1, 0:1] += gm
+                        gaffs[aff_idx[p]][0, l0:l1, 1:2] += go
                 else:
                     gxs[p][0, 0, l0:l1, :] = gu.astype(out_dtype)
 
