@@ -36,6 +36,8 @@ def main():
                     help="mirror flips per forward (memory/parallelism knob)")
     ap.add_argument("--no_fused", action="store_true",
                     help="disable the Pallas fused block kernels")
+    ap.add_argument("--quadrant", action="store_true",
+                    help="enable the experimental quadrant level-0 layout")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -58,7 +60,8 @@ def main():
         pool_op_kernel_sizes=((2, 2, 2),) * 5,
         base_num_features=48 if on_tpu else 8,
         compute_dtype=jnp.bfloat16,
-        fused=on_tpu and not args.no_fused)
+        fused=on_tpu and not args.no_fused,
+        quadrant=args.quadrant)
     x0 = jnp.zeros((1, *patch, num_mod), jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
     n_params = sum(int(np.prod(p.shape))

@@ -87,7 +87,10 @@ class ShiftUNetPlusPlus(nn.Module):
     # channels (space-to-depth) and run level 0 through the quadrant fused
     # kernels (ops/qfused.py): kills the transpconv depth-to-space relayout,
     # turns nest down-links into block-max, K-merges the conv dots.
-    quadrant: bool = True
+    # Default OFF: measured slower than the plain fused path on v5e
+    # (bench 10.06 vs 12.07 patches/s — see PERF_NOTES.md round-3 table);
+    # keep iterating behind this flag until it wins.
+    quadrant: bool = False
 
     @property
     def num_pool(self) -> int:
