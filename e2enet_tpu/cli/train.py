@@ -130,7 +130,7 @@ def main(args=None):
     kwargs.update({k: v for k, v in preset.items()
                    if k in ("max_num_epochs", "loss_name", "momentum",
                             "initial_lr", "da_level", "dummy_load", "fp16",
-                            "cascade", "optimizer")})
+                            "cascade", "optimizer", "norm_op", "nonlin")})
     if "da" in preset:
         kwargs["da_level"] = preset["da"]
     if "loss" in preset:

@@ -187,7 +187,8 @@ def predict_from_folder(model_folder: str, input_folder: str,
                         disable_postprocessing: bool = False,
                         mode: str = "normal",
                         segs_from_prev_stage_folder: Optional[str] = None,
-                        num_devices: int = 1):
+                        num_devices: int = 1,
+                        compute_dtype=jnp.bfloat16):
     """mode (reference predict_cases/_fast/_fastest, predict.py:194,362,514):
       normal : resample the full softmax back to original geometry (order 1)
       fast   : argmax at network resolution, resample the label map only
@@ -197,7 +198,8 @@ def predict_from_folder(model_folder: str, input_folder: str,
     if mode == "fastest":
         do_tta = False
     maybe_mkdir_p(output_folder)
-    bundle = ModelBundle(model_folder, folds, tconv, checkpoint_name)
+    bundle = ModelBundle(model_folder, folds, tconv, checkpoint_name,
+                         compute_dtype=compute_dtype)
     expected_num_modalities = bundle.plans.num_modalities
     case_ids = check_input_folder_and_return_caseIDs(
         input_folder, expected_num_modalities)

@@ -30,6 +30,8 @@ class ShiftUNet(nn.Module):
     do_shift: bool = True
     remat: bool = True
     compute_dtype: Any = jnp.bfloat16
+    norm_op: str = "instance"           # architectural-variant knobs
+    nonlin: str = "lrelu"
 
     @property
     def num_pool(self) -> int:
@@ -60,7 +62,8 @@ class ShiftUNet(nn.Module):
                                self.max_num_features)
         cd = self.compute_dtype
         x = x.astype(cd)
-        common = dict(shift_size=self.shift_size, do_shift=self.do_shift,
+        common = dict(norm_op=self.norm_op, nonlin=self.nonlin,
+                      shift_size=self.shift_size, do_shift=self.do_shift,
                       compute_dtype=cd)
         Stack = (nn.remat(StackedConvBlocks, static_argnums=())
                  if self.remat else StackedConvBlocks)

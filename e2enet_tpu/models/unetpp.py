@@ -71,6 +71,11 @@ class ShiftUNetPlusPlus(nn.Module):
     dense_fusion: bool = True      # the maxpool down links (DSFF substrate)
     remat: bool = True             # rematerialize conv blocks in backward
     compute_dtype: Any = jnp.bfloat16
+    # architectural-variant knobs (norm/activation trainer zoo,
+    # nnUNet_variants/architectural_variants — BN/GN/FRN, ReLU/Mish).
+    # Non-default values force the XLA path (fused kernels bake IN+lrelu).
+    norm_op: str = "instance"
+    nonlin: str = "lrelu"
     # fused=True: run stride-1 conv blocks through the Pallas fused kernel
     # (ops/fused_block.py) at every level where it is supported; normalized
     # activations are then never materialized (consumers apply norm+lrelu on
@@ -123,7 +128,8 @@ class ShiftUNetPlusPlus(nn.Module):
         x = x.astype(cd)
 
         common = dict(shift_size=self.shift_size, do_shift=self.do_shift,
-                      kernel=self.conv_kernel, compute_dtype=cd)
+                      kernel=self.conv_kernel, compute_dtype=cd,
+                      norm_op=self.norm_op, nonlin=self.nonlin)
         # remat: store only block boundaries for the backward pass — the
         # full-res activations of every shift/conv/norm intermediate would
         # not fit in HBM at production patch sizes (jax.checkpoint)
@@ -156,8 +162,12 @@ class ShiftUNetPlusPlus(nn.Module):
             except AssertionError:
                 level_wp.append(0)      # level unusable for fusion
 
+        default_norm = (self.norm_op == "instance"
+                        and self.nonlin == "lrelu")
+
         def fused_ok(i, part_channels, co):
-            if not self.fused or self.conv_kernel != (1, 3, 3):
+            if not self.fused or self.conv_kernel != (1, 3, 3) \
+                    or not default_norm:
                 return False
             if i > self.fused_max_level or level_wp[i] == 0:
                 return False
@@ -170,7 +180,7 @@ class ShiftUNetPlusPlus(nn.Module):
         q0 = pools[0]
         Q0 = int(np.prod(q0))
         Hq0, Wq0 = level_size[1][1], level_size[1][2]
-        use_quad = (self.fused and self.quadrant
+        use_quad = (self.fused and self.quadrant and default_norm
                     and self.conv_kernel == (1, 3, 3)
                     and Q0 > 1 and all(k in (1, 2) for k in q0)
                     and (cd == jnp.bfloat16 or self.fused_interpret))
@@ -472,7 +482,8 @@ def default_fused() -> bool:
 
 def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
                   tconv: str = "shiftConvPP", base_num_features: int = 48,
-                  compute_dtype=jnp.bfloat16, fused=None):
+                  compute_dtype=jnp.bfloat16, norm_op: str = "instance",
+                  nonlin: str = "lrelu", fused=None):
     """Network factory by Tconv name.
     Parity: nnUNetTrainer_simple.initialize_network (:281-357).
     2D plans (patch D == 1) disable the depth shift — the reference never
@@ -480,6 +491,7 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
     fused: None = auto (Pallas fused blocks on TPU, XLA on CPU)."""
     if fused is None:
         fused = default_fused()
+    arch = dict(norm_op=norm_op, nonlin=nonlin)
     pools = tuple(tuple(p) for p in plans_stage.pool_op_kernel_sizes)
     if int(plans_stage.patch_size[0]) == 1:
         if tconv in ("shiftConvPP",):
@@ -491,17 +503,18 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
                 num_classes=num_classes_incl_bg,
                 pool_op_kernel_sizes=pools,
                 base_num_features=base_num_features, do_shift=False,
-                max_num_features=480, compute_dtype=compute_dtype)
+                max_num_features=480, compute_dtype=compute_dtype, **arch)
     if tconv == "shiftConvPP":
         return ShiftUNetPlusPlus(
             input_channels=num_modalities, num_classes=num_classes_incl_bg,
             pool_op_kernel_sizes=pools, base_num_features=base_num_features,
-            compute_dtype=compute_dtype, fused=fused)
+            compute_dtype=compute_dtype, fused=fused, **arch)
     if tconv == "shiftConvPP_noshift":
         return ShiftUNetPlusPlus(
             input_channels=num_modalities, num_classes=num_classes_incl_bg,
             pool_op_kernel_sizes=pools, base_num_features=base_num_features,
-            do_shift=False, compute_dtype=compute_dtype, fused=fused)
+            do_shift=False, compute_dtype=compute_dtype, fused=fused,
+            **arch)
     if tconv in ("shiftConvPP_313", "shiftConvPP_331"):
         # kernels (3,1,3)/(3,3,1); the reference disables the shift for
         # these ablations ('and False', unetpp_d_313.py:102)
@@ -509,12 +522,13 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
         return ShiftUNetPlusPlus(
             input_channels=num_modalities, num_classes=num_classes_incl_bg,
             pool_op_kernel_sizes=pools, base_num_features=base_num_features,
-            do_shift=False, conv_kernel=kern, compute_dtype=compute_dtype)
+            do_shift=False, conv_kernel=kern, compute_dtype=compute_dtype,
+            **arch)
     if tconv in ("ori", "shiftConvPP_nodff"):
         from .unet import ShiftUNet
         return ShiftUNet(
             input_channels=num_modalities, num_classes=num_classes_incl_bg,
             pool_op_kernel_sizes=pools, base_num_features=base_num_features,
             shift_size=3 if tconv == "ori" else 5,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, **arch)
     raise KeyError(f"Unknown Tconv '{tconv}'")

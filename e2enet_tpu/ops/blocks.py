@@ -75,6 +75,69 @@ def leaky_relu(x, slope: float = LRELU_SLOPE):
     return jnp.where(x >= 0, x, x * slope)
 
 
+def batch_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               eps: float = INSTNORM_EPS) -> jnp.ndarray:
+    """Batch-statistics normalization over (N, D, H, W) per channel —
+    the BN of the reference's architectural variants
+    (nnUNet_variants/architectural_variants/nnUNetTrainerV2_BN.py; always
+    batch stats here: the jitted functional trainer keeps no running
+    averages, matching torch BN in training mode)."""
+    dtype = x.dtype
+    axes = tuple(range(x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(dtype)
+
+
+def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               num_groups: int = 8,
+               eps: float = INSTNORM_EPS) -> jnp.ndarray:
+    """GroupNorm(num_groups=8) — parity with MyGroupNorm of the GN
+    variants (architectural_variants, norm_op_kwargs num_groups=8)."""
+    dtype = x.dtype
+    N = x.shape[0]
+    C = x.shape[-1]
+    g = num_groups if C % num_groups == 0 else 1
+    xf = x.astype(jnp.float32).reshape(N, -1, g, C // g)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+    return (y * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(dtype)
+
+
+def frn(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+        eps: float = 1e-6) -> jnp.ndarray:
+    """Filter Response Normalization (reference
+    custom_modules/feature_response_norm.py semantics): x / sqrt(nu2+eps)
+    with nu2 = mean(x^2) over spatial dims, then affine. Pair with the
+    'tlu' nonlin."""
+    dtype = x.dtype
+    axes = tuple(range(1, x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    nu2 = jnp.mean(xf * xf, axis=axes, keepdims=True)
+    y = xf * jax.lax.rsqrt(nu2 + eps)
+    return (y * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(dtype)
+
+
+def mish(x):
+    """x * tanh(softplus(x)) (reference custom_modules/mish.py)."""
+    xf = x.astype(jnp.float32)
+    return (xf * jnp.tanh(jax.nn.softplus(xf))).astype(x.dtype)
+
+
+NORM_OPS = {"instance": instance_norm, "batch": batch_norm,
+            "group": group_norm, "frn": frn,
+            "none": lambda x, scale, bias: x}
+
+NONLINS = {"lrelu": leaky_relu, "relu": jax.nn.relu,
+           "gelu": jax.nn.gelu, "mish": mish, "none": lambda x: x}
+
+
 def _precision_for(dtype):
     # this XLA build computes f32 convs/dots at reduced precision by default;
     # force exact f32 when the compute dtype is f32 (golden tests, eval)
@@ -213,6 +276,12 @@ class ShiftConvBlock(nn.Module):
     shift_size: int = 5
     do_shift: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # architectural-variant knobs (reference nnUNet_variants/
+    # architectural_variants: BN/GN/FRN norms, ReLU/Mish nonlins). The
+    # Pallas fused path bakes instance+lrelu into the kernels, so models
+    # gate fusion off for non-default values.
+    norm_op: str = "instance"           # instance|batch|group|frn|none
+    nonlin: str = "lrelu"               # lrelu|relu|gelu|mish|none
 
     fused: bool = False                 # run the Pallas fused-block kernel
     fused_hw: Optional[Tuple[int, int]] = None   # static (H, W) when fused
@@ -241,6 +310,8 @@ class ShiftConvBlock(nn.Module):
             parts, affines = x
             H, W = self.fused_hw
             assert self.kernel == (1, 3, 3) and self.stride == (1, 1, 1)
+            assert self.norm_op == "instance" and self.nonlin == "lrelu", \
+                "fused kernels bake instance-norm + lrelu"
             if self.fused_q is not None:
                 Q = int(np.prod(self.fused_q))
                 cin = sum(int(p.shape[2]) // Q for p in parts)
@@ -310,8 +381,13 @@ class ShiftConvBlock(nn.Module):
                 off += pc
         scale = self.param("norm_scale", nn.initializers.ones, (self.features,))
         nbias = self.param("norm_bias", nn.initializers.zeros, (self.features,))
-        y = instance_norm(y, scale, nbias)
-        return leaky_relu(y)
+        y = NORM_OPS[self.norm_op](y, scale, nbias)
+        if self.norm_op == "frn":
+            # FRN pairs with the thresholded linear unit: max(y, tau)
+            tau = self.param("frn_tau", nn.initializers.zeros,
+                             (self.features,))
+            return jnp.maximum(y, tau.astype(y.dtype))
+        return NONLINS[self.nonlin](y)
 
 
 class StackedConvBlocks(nn.Module):
@@ -325,6 +401,8 @@ class StackedConvBlocks(nn.Module):
     shift_size: int = 5
     do_shift: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
+    norm_op: str = "instance"
+    nonlin: str = "lrelu"
     fused: bool = False
     fused_hw: Optional[Tuple[int, int]] = None
     fused_interpret: bool = False
@@ -376,6 +454,7 @@ class StackedConvBlocks(nn.Module):
                 stride=self.first_stride if i == 0 else (1, 1, 1),
                 shift_size=self.shift_size, do_shift=self.do_shift,
                 compute_dtype=self.compute_dtype,
+                norm_op=self.norm_op, nonlin=self.nonlin,
                 name=f"block{i}")(x)
         return x
 

@@ -15,6 +15,7 @@ from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def softmax_helper(x):
@@ -229,8 +230,36 @@ def focal_loss(logits: jnp.ndarray, target: jnp.ndarray,
     return jnp.mean(loss)
 
 
+def mcc_loss(logits: jnp.ndarray, target: jnp.ndarray,
+             batch_dice: bool = True, do_bg: bool = True,
+             smooth: float = 0.0,
+             loss_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Matthews-correlation-coefficient loss (reference
+    dice_loss.py:195-240 MCCLoss; batch_mcc follows batch_dice like the
+    nnUNetTrainerV2_Loss_MCC variant). Counts are normalized by the voxel
+    count before the MCC formula."""
+    probs = softmax_helper(logits.astype(jnp.float32))
+    voxels = float(np.prod(logits.shape[1:-1]))
+    tp, fp, fn = get_tp_fp_fn_tn(probs, target, batch_dice, loss_mask)
+    if loss_mask is None:
+        total = voxels * (logits.shape[0] if batch_dice else 1)
+    else:
+        axes = tuple(range(0 if batch_dice else 1, probs.ndim - 1))
+        total = jnp.sum(loss_mask.astype(jnp.float32), axis=axes)[..., None]
+    tn = total - tp - fp - fn
+    tp, fp, fn, tn = (v / voxels for v in (tp, fp, fn, tn))
+    nominator = tp * tn - fp * fn + smooth
+    denominator = jnp.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) + smooth
+    mcc = nominator / (denominator + 1e-8)
+    if not do_bg:
+        mcc = mcc[1:] if batch_dice else mcc[:, 1:]
+    return -jnp.mean(mcc)
+
+
 LOSS_REGISTRY = {
     "dc_ce": dc_and_ce_loss,
+    "mcc": mcc_loss,
     "dice": soft_dice_loss,
     "dice_squared": soft_dice_loss_squared,
     "gdl": generalized_dice_loss,

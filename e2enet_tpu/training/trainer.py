@@ -60,6 +60,7 @@ class TPUTrainer:
                  num_devices: Optional[int] = None,
                  spatial_parallel: int = 1,
                  device_augment: bool = False,
+                 norm_op: str = "instance", nonlin: str = "lrelu",
                  fused: Optional[bool] = None):
         self.plans = plans
         self.fold = fold
@@ -76,6 +77,8 @@ class TPUTrainer:
         self.num_da_threads = num_da_threads
         self.base_num_features = base_num_features
         self.cascade = cascade
+        self.norm_op = norm_op
+        self.nonlin = nonlin
 
         self.output_folder_base = output_folder
         self.output_folder = join(output_folder, f"fold_{fold}")
@@ -133,7 +136,7 @@ class TPUTrainer:
             self.stage_plan, num_in, self.num_classes,
             tconv=self.tconv, base_num_features=self.base_num_features,
             compute_dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
-            fused=fused)
+            norm_op=self.norm_op, nonlin=self.nonlin, fused=fused)
         self.num_pool = len(self.stage_plan.pool_op_kernel_sizes)
         n_out = self.network.num_ds_outputs()
         self.ds_weights = ds_loss_weights(self.num_pool, n_out)

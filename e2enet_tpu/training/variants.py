@@ -47,6 +47,22 @@ VARIANTS: Dict[str, Dict[str, Any]] = {
     "nnUNetTrainerV2_fp32": {"fp16": False},
     # --- cascade
     "nnUNetTrainerV2_CascadeFullRes": {"cascade": True},
+    # --- losses (cont.)
+    "nnUNetTrainerV2_Loss_MCC": {"loss": "mcc"},
+    "nnUNetTrainerV2_Loss_MCCnoBG": {"loss": "mcc"},
+    # --- architectural variants (nnUNet_variants/architectural_variants/*:
+    # norm_op/nonlin knobs on the network)
+    "nnUNetTrainerV2_BN": {"norm_op": "batch"},
+    "nnUNetTrainerV2_GN": {"norm_op": "group"},
+    "nnUNetTrainerV2_FRN": {"norm_op": "frn"},
+    "nnUNetTrainerV2_NoNormalization": {"norm_op": "none"},
+    "nnUNetTrainerV2_ReLU": {"nonlin": "relu"},
+    "nnUNetTrainerV2_GeLU": {"nonlin": "gelu"},
+    "nnUNetTrainerV2_Mish": {"nonlin": "mish"},
+    "nnUNetTrainerV2_BN_ReLU": {"norm_op": "batch", "nonlin": "relu"},
+    "nnUNetTrainerV2_FRN_LReLU": {"norm_op": "frn"},
+    "nnUNetTrainerV2_NoNormalization_lr1en3": {"norm_op": "none",
+                                               "initial_lr": 1e-3},
 }
 
 

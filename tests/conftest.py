@@ -37,11 +37,59 @@ def stub_reference_deps():
     def _fail(*a, **k):
         raise NotImplementedError("stub")
 
+    def pad_nd_image(image, new_shape=None, mode="constant", kwargs=None,
+                     return_slicer=False, shape_must_be_divisible_by=None):
+        """Faithful batchgenerators.augmentations.utils.pad_nd_image —
+        needed by the reference predict_3D (neural_network.py:300)."""
+        import numpy as _np
+        if kwargs is None:
+            kwargs = {"constant_values": 0}
+        if new_shape is not None:
+            old_shape = _np.array(image.shape[-len(new_shape):])
+        else:
+            assert shape_must_be_divisible_by is not None
+            new_shape = image.shape[-len(shape_must_be_divisible_by):]
+            old_shape = new_shape
+        num_axes_nopad = len(image.shape) - len(new_shape)
+        new_shape = [max(new_shape[i], old_shape[i])
+                     for i in range(len(new_shape))]
+        if shape_must_be_divisible_by is not None:
+            if not isinstance(shape_must_be_divisible_by,
+                              (list, tuple, _np.ndarray)):
+                shape_must_be_divisible_by = \
+                    [shape_must_be_divisible_by] * len(new_shape)
+            elif len(shape_must_be_divisible_by) < len(new_shape):
+                shape_must_be_divisible_by = (
+                    [1] * (len(new_shape) - len(shape_must_be_divisible_by))
+                    + list(shape_must_be_divisible_by))
+            for i in range(len(new_shape)):
+                if new_shape[i] % shape_must_be_divisible_by[i] == 0:
+                    new_shape[i] -= shape_must_be_divisible_by[i]
+            new_shape = _np.array(
+                [new_shape[i] + shape_must_be_divisible_by[i]
+                 - new_shape[i] % shape_must_be_divisible_by[i]
+                 for i in range(len(new_shape))])
+        difference = new_shape - old_shape
+        pad_below = difference // 2
+        pad_above = difference // 2 + difference % 2
+        pad_list = ([[0, 0]] * num_axes_nopad
+                    + [list(i) for i in zip(pad_below, pad_above)])
+        if not _np.all(_np.array(pad_list) == 0):
+            res = _np.pad(image, pad_list, mode, **kwargs)
+        else:
+            res = image
+        if not return_slicer:
+            return res
+        pad_list = _np.array(pad_list)
+        pad_list[:, 1] = _np.array(res.shape) - pad_list[:, 1]
+        slicer = [slice(*i) for i in pad_list]
+        return res, slicer
+
     if "batchgenerators" not in sys.modules:
         bg = types.ModuleType("batchgenerators")
         aug = types.ModuleType("batchgenerators.augmentations")
         aug_utils = types.ModuleType("batchgenerators.augmentations.utils")
-        aug_utils.pad_nd_image = _fail
+        aug_utils.pad_nd_image = pad_nd_image
         util = types.ModuleType("batchgenerators.utilities")
         ffo = types.ModuleType(
             "batchgenerators.utilities.file_and_folder_operations")

@@ -87,3 +87,31 @@ def test_downsample_targets():
     assert outs[1].shape == (1, 2, 2, 2)
     np.testing.assert_array_equal(np.asarray(outs[1]),
                                   np.asarray(seg)[:, ::2, ::2, ::2])
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir("/root/reference"),
+                    reason="reference not mounted")
+def test_mcc_matches_reference_torch():
+    from conftest import stub_reference_deps
+    stub_reference_deps()
+    torch = pytest.importorskip("torch")
+    from e2enet.training.loss_functions.dice_loss import MCCLoss
+    from e2enet.utilities.nd_softmax import softmax_helper
+    from e2enet_tpu.ops.losses import mcc_loss
+    loss_ref = MCCLoss(apply_nonlin=softmax_helper, batch_mcc=True,
+                       do_bg=True, smooth=0.0)
+    logits = _rand((2, 4, 6, 6, 4), seed=7)
+    target = np.random.RandomState(8).randint(0, 4, (2, 4, 6, 6))
+    lt = torch.from_numpy(np.moveaxis(logits, -1, 1))
+    tt = torch.from_numpy(target[:, None]).float()
+    theirs = float(loss_ref(lt, tt))
+    ours = float(mcc_loss(jnp.asarray(logits), jnp.asarray(target),
+                          batch_dice=True, do_bg=True))
+    assert ours == pytest.approx(theirs, rel=1e-4, abs=1e-5)
+
+    loss_ref_nobg = MCCLoss(apply_nonlin=softmax_helper, batch_mcc=False,
+                            do_bg=False, smooth=0.0)
+    theirs = float(loss_ref_nobg(lt, tt))
+    ours = float(mcc_loss(jnp.asarray(logits), jnp.asarray(target),
+                          batch_dice=False, do_bg=False))
+    assert ours == pytest.approx(theirs, rel=1e-4, abs=1e-5)

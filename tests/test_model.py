@@ -115,3 +115,63 @@ def test_forward_parity_with_reference():
     for ro, o in zip(ref_outs, outs):
         got = ndhwc_to_nchw(np.asarray(o))
         np.testing.assert_allclose(got, ro.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_norm_nonlin_variants():
+    """Architectural-variant knobs: every norm_op x nonlin builds and runs
+    (nnUNet_variants/architectural_variants parity)."""
+    import itertools
+    import jax
+    import jax.numpy as jnp
+    from e2enet_tpu.models.unetpp import ShiftUNetPlusPlus
+    x = jnp.ones((1, 4, 8, 8, 1), jnp.float32)
+    for norm, nl in [("batch", "lrelu"), ("group", "relu"),
+                     ("frn", "lrelu"), ("none", "mish"),
+                     ("instance", "gelu")]:
+        m = ShiftUNetPlusPlus(
+            input_channels=1, num_classes=2,
+            pool_op_kernel_sizes=((2, 2, 2),), base_num_features=4,
+            compute_dtype=jnp.float32, norm_op=norm, nonlin=nl,
+            remat=False)
+        params = m.init(jax.random.PRNGKey(0), x)
+        outs = m.apply(params, x)
+        assert all(bool(jnp.all(jnp.isfinite(o))) for o in outs)
+        if norm == "frn":
+            flat = jax.tree_util.tree_flatten_with_path(params)[0]
+            assert any("frn_tau" in jax.tree_util.keystr(k)
+                       for k, _ in flat)
+
+
+def test_norm_ops_match_torch():
+    """BN/GN numerics vs torch (the reference variants' norm layers)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from e2enet_tpu.ops.blocks import batch_norm, group_norm, mish
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 4, 5, 6).astype(np.float32)   # (N,D,H,W,C)
+    scale = rng.rand(6).astype(np.float32) + 0.5
+    bias = rng.randn(6).astype(np.float32)
+
+    ours = np.asarray(batch_norm(jnp.asarray(x), jnp.asarray(scale),
+                                 jnp.asarray(bias)))
+    bn = torch.nn.BatchNorm3d(6, eps=1e-5, affine=True)
+    bn.weight.data = torch.from_numpy(scale)
+    bn.bias.data = torch.from_numpy(bias)
+    bn.train()
+    xt = torch.from_numpy(np.moveaxis(x, -1, 1))
+    theirs = np.moveaxis(bn(xt).detach().numpy(), 1, -1)
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+    ours = np.asarray(group_norm(jnp.asarray(x), jnp.asarray(scale),
+                                 jnp.asarray(bias), num_groups=3))
+    gn = torch.nn.GroupNorm(3, 6, eps=1e-5, affine=True)
+    gn.weight.data = torch.from_numpy(scale)
+    gn.bias.data = torch.from_numpy(bias)
+    theirs = np.moveaxis(gn(xt).detach().numpy(), 1, -1)
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+    ours = np.asarray(mish(jnp.asarray(x)))
+    theirs = np.moveaxis(
+        torch.nn.functional.mish(xt).numpy(), 1, -1)
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
