@@ -58,7 +58,7 @@ def main(args=None):
                         help="0..4 or 'all'")
     parser.add_argument("--Tconv", type=str, default="shiftConvPP")
     parser.add_argument("--epochs", type=int, default=200)
-    parser.add_argument("--batches", type=int, default=100,
+    parser.add_argument("--batches", type=int, default=250,
                         help="batches per epoch")
     parser.add_argument("--val_batches", type=int, default=50)
     parser.add_argument("--base_features", type=int, default=48)

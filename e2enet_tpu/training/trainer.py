@@ -47,7 +47,7 @@ class TPUTrainer:
     def __init__(self, plans: Plans, fold, output_folder: str,
                  dataset_directory: Optional[str] = None, stage: int = 0,
                  batch_dice: bool = True, tconv: str = "shiftConvPP",
-                 max_num_epochs: int = 200, num_batches_per_epoch: int = 100,
+                 max_num_epochs: int = 200, num_batches_per_epoch: int = 250,
                  num_val_batches_per_epoch: int = 50, unpack_data: bool = True,
                  fp16: bool = True, dsff_config: Optional[dsff.DSFFConfig] = None,
                  seed: int = 0, num_da_threads: int = 1,
@@ -115,7 +115,7 @@ class TPUTrainer:
         self.best_val_eval_criterion_MA = None
         self.val_eval_criterion_MA = None
         self.val_eval_criterion_alpha = 0.9
-        self.save_every = 1
+        self.save_every = 50   # reference nnUNetTrainer_simple.py:168
 
         self.was_initialized = False
 

@@ -25,6 +25,8 @@ def log(*a):
 
 def main():
     fused = "--no_fused" not in sys.argv
+    quadrant = "--quadrant" in sys.argv
+    max_level = 0 if "--max_level0" in sys.argv else 1
     patch = (128, 128, 128)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, *patch, 1),
                           jnp.float32).astype(jnp.bfloat16)
@@ -32,7 +34,7 @@ def main():
         input_channels=1, num_classes=16,
         pool_op_kernel_sizes=((2, 2, 2),) * 5,
         base_num_features=48, compute_dtype=jnp.bfloat16,
-        fused=fused, fused_max_level=0)
+        fused=fused, fused_max_level=max_level, quadrant=quadrant)
     params = jax.jit(model.init)(jax.random.PRNGKey(1), x)
 
     def step(c, _):
@@ -41,7 +43,8 @@ def main():
 
     g = jax.jit(lambda x0: jax.lax.scan(step, x0, None, length=5)[0])
     jax.block_until_ready(g(x))
-    tdir = f"/tmp/prof_fwd_{'fused' if fused else 'xla'}"
+    tdir = ("/tmp/prof_fwd_" + ("fused" if fused else "xla")
+            + ("_quad" if quadrant else ""))
     jax.profiler.start_trace(tdir)
     t0 = time.time()
     jax.block_until_ready(g(x))
