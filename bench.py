@@ -61,7 +61,7 @@ def main():
         base_num_features=48 if on_tpu else 8,
         compute_dtype=jnp.bfloat16,
         fused=on_tpu and not args.no_fused,
-        quadrant=args.quadrant)
+        quadrant=args.quadrant, quadrant_logits=args.quadrant)
     x0 = jnp.zeros((1, *patch, num_mod), jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
     n_params = sum(int(np.prod(p.shape))
@@ -69,10 +69,13 @@ def main():
     log(f"params: {n_params/1e6:.2f}M  patch={patch}  volume={vol_shape}")
 
     apply_fn = lambda p, x: model.apply(p, x, do_ds=False)
+    qmeta = (((2, 2, 2), patch[1] // 2, patch[2] // 2)
+             if args.quadrant else None)
     predictor = make_tiled_predictor(apply_fn, patch, num_classes,
                                      mirror_axes=(0, 1, 2),
                                      do_mirroring=True,
-                                     tta_batch=args.tta_batch)
+                                     tta_batch=args.tta_batch,
+                                     quadrant_meta=qmeta)
 
     steps = compute_steps_for_sliding_window(patch, vol_shape, 0.5)
     starts = np.array([(a, b, c) for a in steps[0] for b in steps[1]

@@ -96,6 +96,11 @@ class ShiftUNetPlusPlus(nn.Module):
     # (bench 10.06 vs 12.07 patches/s — see PERF_NOTES.md round-3 table);
     # keep iterating behind this flag until it wins.
     quadrant: bool = False
+    # with quadrant on and do_ds=False, return the full-res logits in
+    # quadrant CF form (N, Dq, Q*K, Hq*Wqp) — consumers (ops/sliding) run
+    # the TTA unflip + softmax in quadrant space and de-quadrantize once
+    # per tile. Rank tells them apart (4 vs 5).
+    quadrant_logits: bool = False
 
     @property
     def num_pool(self) -> int:
@@ -434,9 +439,11 @@ class ShiftUNetPlusPlus(nn.Module):
                 # per-block 1x1 conv; only the logits get de-quadrantized
                 mult, off = q_affine_of(v)
                 xq = quadrant_apply_norm_lrelu(v.raw, mult, off)
+                emit_q = (self.quadrant_logits and not do_ds and i == 0)
                 outputs.append(SegHead(num_classes=self.num_classes,
                                        compute_dtype=cd,
                                        quadrant=(q0, Hq0, Wq0),
+                                       emit_quadrant=emit_q,
                                        name=f"seg_head{i}")(xq))
                 continue
             head_in = as_cl(v, i)

@@ -499,6 +499,10 @@ class SegHead(nn.Module):
     num_classes: int
     compute_dtype: jnp.dtype = jnp.bfloat16
     quadrant: Optional[Tuple[Tuple[int, int, int], int, int]] = None
+    # emit_quadrant: return the logits in quadrant CF form (N, Dq, Q*K, L)
+    # instead of de-quadrantizing — the sliding-window predictor then runs
+    # TTA unflip + softmax in quadrant space (ops/qfused.quadrant_flip)
+    emit_quadrant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -516,6 +520,8 @@ class SegHead(nn.Module):
                            preferred_element_type=jnp.float32,
                            precision=_precision_for(self.compute_dtype))
             y = y.reshape(N, Dq, Q * self.num_classes, L)
+            if self.emit_quadrant:
+                return y.astype(jnp.float32)
             return from_quadrant_cf(y, q, Hq, Wq,
                                     self.num_classes).astype(jnp.float32)
         cin = x.shape[-1]

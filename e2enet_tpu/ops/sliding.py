@@ -110,7 +110,8 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
                          mirror_axes: Tuple[int, ...] = (0, 1, 2),
                          do_mirroring: bool = True,
                          accum_dtype=jnp.float32,
-                         tta_batch: int = 1):
+                         tta_batch: int = 1,
+                         quadrant_meta=None):
     """Builds the jitted single-program sliding-window predictor.
 
     apply_fn(params, x) -> logits for x (B, pd, ph, pw, C_in), logits
@@ -125,63 +126,13 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
       n_valid: scalar int32, number of real tiles
     -> (probs_sum (X, Y, Z, num_classes), weights (X, Y, Z)) accumulators.
     """
-    pd, ph, pw = patch_size
-    combos = flip_combinations(mirror_axes) if do_mirroring else [()]
-    n_tta = len(combos)
-    gmap = jnp.asarray(gaussian_importance_map(tuple(patch_size)))
-    tta_batch = max(1, min(tta_batch, n_tta))
-    assert n_tta % tta_batch == 0, "tta_batch must divide 2**len(mirror_axes)"
-    # (n_chunks, tta_batch, 3) boolean flip flags — TTA runs as a scan over
-    # chunks so the conv graph is instantiated ONCE, not 8x (compile time)
-    flip_flags = np.array([[a in c for a in (0, 1, 2)] for c in combos],
-                          bool).reshape(-1, tta_batch, 3)
-
-    def apply_flips(x, flags):
-        # x: (d, h, w, C); flags: (3,) booleans (traced)
-        for ax in range(3):
-            x = jnp.where(flags[ax], jnp.flip(x, axis=ax), x)
-        return x
-
     @jax.jit
     def run(params, volume, starts, n_valid):
-        X, Y, Z, C = volume.shape
-        acc = jnp.zeros((X, Y, Z, num_classes), accum_dtype)
-        wacc = jnp.zeros((X, Y, Z), accum_dtype)
-        flags_chunks = jnp.asarray(flip_flags)
-
-        def body(carry, start):
-            acc, wacc, t = carry
-            x0, y0, z0 = start[0], start[1], start[2]
-            patch = jax.lax.dynamic_slice(
-                volume, (x0, y0, z0, 0), (pd, ph, pw, C))
-
-            def tta_chunk(prob_sum, flags):
-                batch = jax.vmap(lambda f: apply_flips(patch, f))(flags)
-                logits = apply_fn(params, batch)
-                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-                unflipped = jax.vmap(apply_flips)(probs, flags)
-                return prob_sum + jnp.sum(unflipped, axis=0), None
-
-            prob_sum = jnp.zeros((pd, ph, pw, num_classes), jnp.float32)
-            prob_sum, _ = jax.lax.scan(tta_chunk, prob_sum, flags_chunks)
-            mean_probs = prob_sum / n_tta
-
-            valid = (t < n_valid).astype(accum_dtype)
-            w = gmap * valid
-            contrib = (mean_probs * w[..., None]).astype(accum_dtype)
-
-            sl = jax.lax.dynamic_slice(
-                acc, (x0, y0, z0, 0), (pd, ph, pw, num_classes))
-            acc = jax.lax.dynamic_update_slice(
-                acc, sl + contrib, (x0, y0, z0, 0))
-            wsl = jax.lax.dynamic_slice(wacc, (x0, y0, z0), (pd, ph, pw))
-            wacc = jax.lax.dynamic_update_slice(
-                wacc, wsl + w, (x0, y0, z0))
-            return (acc, wacc, t + 1), None
-
-        (acc, wacc, _), _ = jax.lax.scan(
-            body, (acc, wacc, jnp.int32(0)), starts)
-        return acc, wacc
+        tile_ids = jnp.arange(starts.shape[0], dtype=jnp.int32)
+        return _tiled_accumulate(
+            apply_fn, patch_size, num_classes, mirror_axes, do_mirroring,
+            accum_dtype, tta_batch, params, volume, starts, n_valid,
+            tile_ids, quadrant_meta=quadrant_meta)
 
     return run
 
@@ -193,7 +144,8 @@ def make_tiled_predictor_sharded(apply_fn: Callable,
                                  mirror_axes: Tuple[int, ...] = (0, 1, 2),
                                  do_mirroring: bool = True,
                                  accum_dtype=jnp.float32,
-                                 tta_batch: int = 1):
+                                 tta_batch: int = 1,
+                                 quadrant_meta=None):
     """Multi-chip sliding window: the tile list is sharded over the mesh
     axis; every device scans its tiles into a local accumulator over the
     (replicated) volume and the accumulators are psum'd — the whole
@@ -212,7 +164,7 @@ def make_tiled_predictor_sharded(apply_fn: Callable,
         acc, wacc = _tiled_accumulate(
             apply_fn, patch_size, num_classes, mirror_axes, do_mirroring,
             accum_dtype, tta_batch, params, volume, starts, n_valid,
-            tile_ids)
+            tile_ids, quadrant_meta=quadrant_meta)
         acc = jax.lax.psum(acc, axis)
         wacc = jax.lax.psum(wacc, axis)
         return acc, wacc
@@ -238,7 +190,7 @@ def make_tiled_predictor_sharded(apply_fn: Callable,
 
 def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
                       do_mirroring, accum_dtype, tta_batch, params, volume,
-                      starts, n_valid, tile_ids):
+                      starts, n_valid, tile_ids, quadrant_meta=None):
     """Scan a (sub)list of tiles into local accumulators. tile_ids carries
     each tile's GLOBAL index so validity (id < n_valid) is preserved under
     sharding."""
@@ -260,6 +212,24 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
     wacc = jnp.zeros((X, Y, Z), accum_dtype)
     flags_chunks = jnp.asarray(flip_flags)
 
+    # quadrant-layout logits (rank 4): TTA unflip + softmax stay in the
+    # quadrant layout (ops/qfused.quadrant_flip_select — channel-block
+    # swaps + revs as fusible flip+select pairs); the de-quadrantize
+    # happens once per TILE, not once per mirror pass. (A lax.switch
+    # variant of the flips was measured: the HLO conditionals block
+    # fusion and add full-tensor copies — net 10% SLOWER than selects.)
+    out_aval = jax.eval_shape(
+        apply_fn, params,
+        jax.ShapeDtypeStruct((1, pd, ph, pw, C), volume.dtype))
+    quad_out = len(out_aval.shape) == 4
+    if quad_out:
+        assert quadrant_meta is not None, \
+            "apply_fn emits quadrant logits; pass quadrant_meta=(q, Hq, Wq)"
+        assert tta_batch == 1, "quadrant logits require tta_batch=1"
+        q0, Hq_, Wq_ = quadrant_meta
+        from .qfused import (from_quadrant_cf, quadrant_flip_select,
+                             quadrant_softmax_f32)
+
     def body(carry, inp):
         acc, wacc = carry
         start, tid = inp
@@ -267,15 +237,28 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
         patch = jax.lax.dynamic_slice(volume, (x0, y0, z0, 0),
                                       (pd, ph, pw, C))
 
-        def tta_chunk(prob_sum, flags):
-            batch = jax.vmap(lambda f: apply_flips(patch, f))(flags)
-            logits = apply_fn(params, batch)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            unflipped = jax.vmap(apply_flips)(probs, flags)
-            return prob_sum + jnp.sum(unflipped, axis=0), None
+        if quad_out:
+            def tta_pass(prob_sum, flags):
+                pf = apply_flips(patch, flags[0])
+                lq = apply_fn(params, pf[None])
+                lq = quadrant_flip_select(lq, q0, Hq_, Wq_, flags[0])
+                return prob_sum + quadrant_softmax_f32(
+                    lq, q0, num_classes), None
 
-        prob_sum = jnp.zeros((pd, ph, pw, num_classes), jnp.float32)
-        prob_sum, _ = jax.lax.scan(tta_chunk, prob_sum, flags_chunks)
+            prob_sum = jnp.zeros(out_aval.shape, jnp.float32)
+            prob_sum, _ = jax.lax.scan(tta_pass, prob_sum, flags_chunks)
+            prob_sum = from_quadrant_cf(prob_sum, q0, Hq_, Wq_,
+                                        num_classes)[0]
+        else:
+            def tta_chunk(prob_sum, flags):
+                batch = jax.vmap(lambda f: apply_flips(patch, f))(flags)
+                logits = apply_fn(params, batch)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                unflipped = jax.vmap(apply_flips)(probs, flags)
+                return prob_sum + jnp.sum(unflipped, axis=0), None
+
+            prob_sum = jnp.zeros((pd, ph, pw, num_classes), jnp.float32)
+            prob_sum, _ = jax.lax.scan(tta_chunk, prob_sum, flags_chunks)
         mean_probs = prob_sum / n_tta
 
         valid = (tid < n_valid).astype(accum_dtype)

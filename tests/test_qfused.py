@@ -277,3 +277,72 @@ def test_model_quadrant_grad_matches():
     for a, b in zip(flat_r, flat_q):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-2, atol=1e-3)
+
+
+def test_quadrant_flip_matches_true_flip():
+    """quadrant_flip on the quadrant tensor == flip in true space."""
+    from e2enet_tpu.ops.qfused import (from_quadrant_cf, quadrant_flip,
+                                       to_quadrant_cf)
+    rng = np.random.RandomState(0)
+    q = (2, 2, 2)
+    N, D, H, W, C = 1, 4, 6, 10, 3
+    Hq, Wq = H // 2, W // 2
+    Wqp = Wq + 3
+    x = jnp.asarray(rng.randn(N, D, H, W, C).astype(np.float32))
+    xq = to_quadrant_cf(x, q, Wqp)
+    for combo in [(), (0,), (1,), (2,), (0, 2), (0, 1, 2)]:
+        fq = quadrant_flip(xq, q, Hq, Wq, combo)
+        back = from_quadrant_cf(fq, q, Hq, Wq, C)
+        ref = jnp.flip(x, axis=tuple(a + 1 for a in combo)) if combo else x
+        np.testing.assert_allclose(np.asarray(back), np.asarray(ref))
+
+
+def test_quadrant_softmax_matches():
+    from e2enet_tpu.ops.qfused import (from_quadrant_cf,
+                                       quadrant_softmax_f32, to_quadrant_cf)
+    rng = np.random.RandomState(1)
+    q = (2, 2, 2)
+    N, D, H, W, C = 1, 4, 6, 10, 5
+    Hq, Wq = H // 2, W // 2
+    Wqp = Wq + 3
+    x = jnp.asarray(rng.randn(N, D, H, W, C).astype(np.float32))
+    xq = to_quadrant_cf(x, q, Wqp)
+    sq = quadrant_softmax_f32(xq, q, C)
+    back = from_quadrant_cf(sq, q, Hq, Wq, C)
+    ref = jax.nn.softmax(x, axis=-1)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sliding_with_quadrant_logits_matches_plain():
+    """The quadrant-logits sliding path (unflip+softmax in quadrant space,
+    de-quadrantize per tile) == the plain path, exact."""
+    from e2enet_tpu.models.unetpp import ShiftUNetPlusPlus
+    from e2enet_tpu.ops.sliding import (make_tiled_predictor,
+                                        predict_volume_tiled)
+    kw = dict(input_channels=1, num_classes=3,
+              pool_op_kernel_sizes=((2, 2, 2), (2, 2, 2)),
+              base_num_features=4, compute_dtype=jnp.float32, remat=False,
+              fused=True, fused_interpret=True, quadrant=True)
+    patch = (4, 8, 16)
+    m_plain = ShiftUNetPlusPlus(**kw)
+    m_q = ShiftUNetPlusPlus(**kw, quadrant_logits=True)
+    x0 = jnp.zeros((1, *patch, 1), jnp.float32)
+    params = m_plain.init(jax.random.PRNGKey(0), x0)
+    # sanity: the quadrant_logits model emits rank-4 on do_ds=False
+    out = m_q.apply(params, x0, do_ds=False)
+    assert out.ndim == 4, out.shape
+
+    vol = np.random.RandomState(2).randn(1, 6, 12, 24).astype(np.float32)
+    apply_plain = lambda p, x: m_plain.apply(p, x, do_ds=False)
+    apply_q = lambda p, x: m_q.apply(p, x, do_ds=False)
+    qmeta = ((2, 2, 2), patch[1] // 2, patch[2] // 2)
+    pred_plain = make_tiled_predictor(apply_plain, patch, 3)
+    pred_q = make_tiled_predictor(apply_q, patch, 3, quadrant_meta=qmeta)
+    probs_plain = predict_volume_tiled(apply_plain, params, vol, patch, 3,
+                                       predictor=pred_plain)
+    probs_q = predict_volume_tiled(apply_q, params, vol, patch, 3,
+                                   predictor=pred_q)
+    np.testing.assert_allclose(np.asarray(probs_q),
+                               np.asarray(probs_plain),
+                               rtol=1e-5, atol=1e-6)
