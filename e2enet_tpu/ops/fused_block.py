@@ -18,7 +18,7 @@ consumers apply (mult, off) on load.
 
 Layout — "padded channels-first flat rows" (N, D, C, H*Wp), Wp = W + pad:
   * channels-first because Mosaic manual DMA requires 128-aligned lane dims
-    (H*Wp is; C=48 is not — the round-1 blocker, ops/shift_conv_pallas.py);
+    (H*Wp is; C=48 is not — the round-1 blocker, experiments/shift_conv_pallas.py);
   * Wp-padding gives every image row trailing ZERO columns, so the 9 conv
     taps are plain static lane slices of one haloed scratch with NO
     boundary masking (out-of-row reads hit real zeros); pltpu.roll on bf16
