@@ -36,8 +36,8 @@ def main():
                     help="mirror flips per forward (memory/parallelism knob)")
     ap.add_argument("--no_fused", action="store_true",
                     help="disable the Pallas fused block kernels")
-    ap.add_argument("--quadrant", action="store_true",
-                    help="enable the experimental quadrant level-0 layout")
+    ap.add_argument("--no_quadrant", action="store_true",
+                    help="disable the quadrant level-0 layout (default on)")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -61,7 +61,8 @@ def main():
         base_num_features=48 if on_tpu else 8,
         compute_dtype=jnp.bfloat16,
         fused=on_tpu and not args.no_fused,
-        quadrant=args.quadrant, quadrant_logits=args.quadrant)
+        quadrant=not args.no_quadrant,
+        quadrant_logits=not args.no_quadrant)
     x0 = jnp.zeros((1, *patch, num_mod), jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
     n_params = sum(int(np.prod(p.shape))
@@ -70,7 +71,7 @@ def main():
 
     apply_fn = lambda p, x: model.apply(p, x, do_ds=False)
     qmeta = (((2, 2, 2), patch[1] // 2, patch[2] // 2)
-             if args.quadrant else None)
+             if not args.no_quadrant else None)
     predictor = make_tiled_predictor(apply_fn, patch, num_classes,
                                      mirror_axes=(0, 1, 2),
                                      do_mirroring=True,
@@ -89,10 +90,11 @@ def main():
     starts_j = jnp.asarray(starts)
     n_valid = jnp.int32(n_tiles)
 
-    # warmup/compile
+    # warmup/compile (device_get forces true remote completion — over the
+    # axon tunnel block_until_ready can return before execution finishes)
     t0 = time.time()
     acc, w = predictor(params, vol, starts_j, n_valid)
-    jax.block_until_ready((acc, w))
+    np.asarray(acc[0, 0, 0, :1])
     log(f"compile+first run: {time.time()-t0:.1f}s")
 
     reps = 3
@@ -101,7 +103,11 @@ def main():
     t0 = time.time()
     for _ in range(reps):
         acc, w = predictor(params, vol, starts_j, n_valid)
-    jax.block_until_ready((acc, w))
+        # chain: next rep's input depends on this rep's output so the reps
+        # serialize on device; the final fetch bounds the whole chain
+        vol = vol + 0.0 * acc[..., :1].astype(vol.dtype)
+    np.asarray(acc[0, 0, 0, :1])
+    np.asarray(vol[0, 0, 0, :1])
     if args.profile:
         jax.profiler.stop_trace()
         log("profiler trace ->", args.profile)

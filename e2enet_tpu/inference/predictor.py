@@ -97,8 +97,15 @@ class ModelBundle:
             self.stage_plan, num_in, self.num_classes,
             tconv=tconv,
             base_num_features=sidecar["init"].get("base_num_features", 48),
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, quadrant_logits=True)
         self.patch_size = tuple(int(i) for i in self.stage_plan.patch_size)
+
+    def quadrant_meta(self):
+        """(q0, Hq, Wq) for ops/sliding's quadrant-logits path; harmless
+        if the network falls back to plain logits (rank decides)."""
+        q0 = tuple(int(k) for k in self.stage_plan.pool_op_kernel_sizes[0])
+        return (q0, self.patch_size[1] // q0[1],
+                self.patch_size[2] // q0[2])
 
     def make_preprocessor(self) -> GenericPreprocessor:
         return GenericPreprocessor(
@@ -156,15 +163,17 @@ def predict_case(bundle: ModelBundle, data: np.ndarray,
     if predictor_cache is not None and key in predictor_cache:
         predictor = predictor_cache[key]
     else:
+        qmeta = bundle.quadrant_meta()
         if num_devices > 1:
             predictor = make_tiled_predictor_sharded(
                 apply_fn, bundle.patch_size, bundle.num_classes,
                 _make_mesh(num_devices), mirror_axes=(0, 1, 2),
-                do_mirroring=do_tta)
+                do_mirroring=do_tta, quadrant_meta=qmeta)
         else:
             predictor = make_tiled_predictor(
                 apply_fn, bundle.patch_size, bundle.num_classes,
-                mirror_axes=(0, 1, 2), do_mirroring=do_tta)
+                mirror_axes=(0, 1, 2), do_mirroring=do_tta,
+                quadrant_meta=qmeta)
         if predictor_cache is not None:
             predictor_cache[key] = predictor
     softmax_sum = None

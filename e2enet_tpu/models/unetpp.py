@@ -92,10 +92,11 @@ class ShiftUNetPlusPlus(nn.Module):
     # channels (space-to-depth) and run level 0 through the quadrant fused
     # kernels (ops/qfused.py): kills the transpconv depth-to-space relayout,
     # turns nest down-links into block-max, K-merges the conv dots.
-    # Default OFF: measured slower than the plain fused path on v5e
-    # (bench 10.06 vs 12.07 patches/s — see PERF_NOTES.md round-3 table);
-    # keep iterating behind this flag until it wins.
-    quadrant: bool = False
+    # Default ON as of round 4: with the quadrant-native sliding-window
+    # TTA (quadrant_logits) it measures 13.41 patches/s vs 11.52 for the
+    # plain fused path (PERF_NOTES.md round-4 table). Hardware grad parity
+    # for the quadrant backward: experiments/logs/grad_parity_tpu_round4.
+    quadrant: bool = True
     # with quadrant on and do_ds=False, return the full-res logits in
     # quadrant CF form (N, Dq, Q*K, Hq*Wqp) — consumers (ops/sliding) run
     # the TTA unflip + softmax in quadrant space and de-quadrantize once
@@ -148,6 +149,7 @@ class ShiftUNetPlusPlus(nn.Module):
                                        to_padded_cf)
         from ..ops.qfused import (choose_wqp, from_quadrant_cf,
                                   quadrant_apply_norm_lrelu,
+                                  quadrant_block_max_cf,
                                   quadrant_block_max_cl, quadrant_norm_affine,
                                   quadrant_supported, to_quadrant_cf)
 
@@ -359,8 +361,12 @@ class ShiftUNetPlusPlus(nn.Module):
                 parts, affines = [p_same, up], [a_same, None]
                 if above is not None:
                     if isinstance(above, QPending):
-                        down = down_link_cl(above, i)
-                        p_down, _ = as_part(down, i)
+                        # block-max straight into the padded CF layout the
+                        # fused block consumes (no CL round trip)
+                        multq, offq = q_affine_of(above)
+                        p_down = quadrant_block_max_cf(
+                            above.raw, multq, offq, q0, Hq0, Wq0, enc[0],
+                            level_wp[i])
                     elif isinstance(above, Pending):
                         # normalized + pooled down-link in ONE CF pass
                         _, Hs, Ws = level_size[i - 1]
@@ -490,7 +496,8 @@ def default_fused() -> bool:
 def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
                   tconv: str = "shiftConvPP", base_num_features: int = 48,
                   compute_dtype=jnp.bfloat16, norm_op: str = "instance",
-                  nonlin: str = "lrelu", fused=None):
+                  nonlin: str = "lrelu", fused=None,
+                  quadrant_logits: bool = False):
     """Network factory by Tconv name.
     Parity: nnUNetTrainer_simple.initialize_network (:281-357).
     2D plans (patch D == 1) disable the depth shift — the reference never
@@ -499,6 +506,8 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
     if fused is None:
         fused = default_fused()
     arch = dict(norm_op=norm_op, nonlin=nonlin)
+    # quadrant_logits exists only on ShiftUNetPlusPlus (the quadrant path)
+    qlog = dict(quadrant_logits=True) if quadrant_logits else {}
     pools = tuple(tuple(p) for p in plans_stage.pool_op_kernel_sizes)
     if int(plans_stage.patch_size[0]) == 1:
         if tconv in ("shiftConvPP",):
@@ -515,13 +524,13 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
         return ShiftUNetPlusPlus(
             input_channels=num_modalities, num_classes=num_classes_incl_bg,
             pool_op_kernel_sizes=pools, base_num_features=base_num_features,
-            compute_dtype=compute_dtype, fused=fused, **arch)
+            compute_dtype=compute_dtype, fused=fused, **arch, **qlog)
     if tconv == "shiftConvPP_noshift":
         return ShiftUNetPlusPlus(
             input_channels=num_modalities, num_classes=num_classes_incl_bg,
             pool_op_kernel_sizes=pools, base_num_features=base_num_features,
             do_shift=False, compute_dtype=compute_dtype, fused=fused,
-            **arch)
+            **arch, **qlog)
     if tconv in ("shiftConvPP_313", "shiftConvPP_331"):
         # kernels (3,1,3)/(3,3,1); the reference disables the shift for
         # these ablations ('and False', unetpp_d_313.py:102)

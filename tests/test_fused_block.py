@@ -152,7 +152,8 @@ def test_model_fused_matches_xla_path():
               pool_op_kernel_sizes=((2, 2, 2), (2, 2, 2)),
               base_num_features=4, compute_dtype=jnp.float32, remat=False)
     m_ref = ShiftUNetPlusPlus(**kw)
-    m_fus = ShiftUNetPlusPlus(**kw, fused=True, fused_interpret=True)
+    m_fus = ShiftUNetPlusPlus(**kw, fused=True, fused_interpret=True,
+                              quadrant=False)
 
     x = _mk(jax.random.PRNGKey(5), (1, 8, 8, 16, 1))
     params = m_ref.init(jax.random.PRNGKey(6), x)
@@ -178,7 +179,8 @@ def test_model_fused_grad_matches():
               pool_op_kernel_sizes=((2, 2, 2),),
               base_num_features=4, compute_dtype=jnp.float32, remat=True)
     m_ref = ShiftUNetPlusPlus(**kw)
-    m_fus = ShiftUNetPlusPlus(**kw, fused=True, fused_interpret=True)
+    m_fus = ShiftUNetPlusPlus(**kw, fused=True, fused_interpret=True,
+                              quadrant=False)
     x = _mk(jax.random.PRNGKey(7), (1, 4, 8, 16, 1))
     params = m_ref.init(jax.random.PRNGKey(8), x)
 
