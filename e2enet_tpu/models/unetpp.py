@@ -150,8 +150,9 @@ class ShiftUNetPlusPlus(nn.Module):
         from ..ops.qfused import (choose_wqp, from_quadrant_cf,
                                   quadrant_apply_norm_lrelu,
                                   quadrant_block_max_cf,
-                                  quadrant_block_max_cl, quadrant_norm_affine,
-                                  quadrant_supported, to_quadrant_cf)
+                                  quadrant_block_max_cl, quadrant_colmask,
+                                  quadrant_norm_affine, quadrant_supported,
+                                  to_quadrant_cf)
 
         level_size: List[Tuple[int, int, int]] = [tuple(
             int(s) for s in x.shape[1:4])]
@@ -271,6 +272,24 @@ class ShiftUNetPlusPlus(nn.Module):
                     fused=True, fused_hw=(H, W),
                     fused_interpret=self.fused_interpret,
                     name=f"context{d}", **common)(([part], [aff]))
+                h = Pending(*out)
+            elif (d == 1 and isinstance(h, QPending)
+                  and stride == tuple(q0)
+                  and fused_ok(1, (enc[1],), enc[1])):
+                # leave the quadrant level natively: block0 = depth shift +
+                # strided conv as block algebra on the quadrant tensor
+                # (ops/qfused.quadrant_strided_shift_conv) — no full-res
+                # de-quadrantize + shift-select round trip
+                multq, offq = q_affine_of(h)
+                xqn = quadrant_apply_norm_lrelu(
+                    h.raw, multq, offq, quadrant_colmask(Hq0, Wq0, wqp0))
+                out = StackedConvBlocks(
+                    features=enc[1], num_convs=self.num_conv_per_stage,
+                    fused=True,
+                    fused_hw=(level_size[1][1], level_size[1][2]),
+                    fused_interpret=self.fused_interpret,
+                    q_transition=(tuple(q0), Hq0, Wq0, level_wp[1]),
+                    name="context1", **common)(([xqn], [None]))
                 h = Pending(*out)
             else:
                 h = Stack(features=enc[d],
@@ -497,17 +516,22 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
                   tconv: str = "shiftConvPP", base_num_features: int = 48,
                   compute_dtype=jnp.bfloat16, norm_op: str = "instance",
                   nonlin: str = "lrelu", fused=None,
-                  quadrant_logits: bool = False):
+                  quadrant=None, quadrant_logits: bool = False):
     """Network factory by Tconv name.
     Parity: nnUNetTrainer_simple.initialize_network (:281-357).
     2D plans (patch D == 1) disable the depth shift — the reference never
     shifts in 2D (torch_shift is dim_num==3 only).
-    fused: None = auto (Pallas fused blocks on TPU, XLA on CPU)."""
+    fused: None = auto (Pallas fused blocks on TPU, XLA on CPU).
+    quadrant: None = the model default (on; measured best for inference);
+    the trainer passes False — the quadrant backward currently measures
+    810 vs 787 ms/step (PERF_NOTES.md round-4 table)."""
     if fused is None:
         fused = default_fused()
     arch = dict(norm_op=norm_op, nonlin=nonlin)
-    # quadrant_logits exists only on ShiftUNetPlusPlus (the quadrant path)
+    # quadrant knobs exist only on ShiftUNetPlusPlus (the quadrant path)
     qlog = dict(quadrant_logits=True) if quadrant_logits else {}
+    if quadrant is not None:
+        qlog["quadrant"] = bool(quadrant)
     pools = tuple(tuple(p) for p in plans_stage.pool_op_kernel_sizes)
     if int(plans_stage.patch_size[0]) == 1:
         if tconv in ("shiftConvPP",):

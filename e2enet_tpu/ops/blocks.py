@@ -290,6 +290,14 @@ class ShiftConvBlock(nn.Module):
     # the level-below geometry with q-times the channels. fused_q = the
     # quadrant factors (qd, qh, qw); fused_hw is then (Hq, Wq).
     fused_q: Optional[Tuple[int, int, int]] = None
+    # quadrant-native STRIDED transition (the encoder's convolutional
+    # pooling out of the quadrant level, ops/qfused.py
+    # quadrant_strided_shift_conv): (q, Hq, Wq, Wp_out). Input is the
+    # normalized quadrant tensor (padding columns zero); output is the
+    # pending (raw CF, stats) at the level-below geometry. Parameter
+    # shapes/names match the unfused strided block exactly.
+    fused_q_strided: Optional[Tuple[Tuple[int, int, int], int, int, int]] = \
+        None
 
     @nn.compact
     def __call__(self, x):
@@ -306,6 +314,28 @@ class ShiftConvBlock(nn.Module):
         params; returns (raw_conv_out, stats, norm_scale, norm_bias) — the
         normalization is NOT applied; consumers apply it on load. Parameter
         shapes/names are identical in both modes (checkpoint interop)."""
+        if self.fused and self.fused_q_strided is not None:
+            from .qfused import quadrant_strided_shift_conv
+            (xqn,), _ = x
+            q, Hq, Wq, wp_out = self.fused_q_strided
+            assert self.kernel == (1, 3, 3)
+            assert self.norm_op == "instance" and self.nonlin == "lrelu"
+            Q = int(np.prod(q))
+            cin = int(xqn.shape[2]) // Q
+            kernel = self.param("kernel", he_normal_leaky(),
+                                (3, 3, cin, self.features))
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            scale = self.param("norm_scale", nn.initializers.ones,
+                               (self.features,))
+            nbias = self.param("norm_bias", nn.initializers.zeros,
+                               (self.features,))
+            y, stats = quadrant_strided_shift_conv(
+                xqn, kernel, bias, q, Hq, Wq, wp_out,
+                shift_size=self.shift_size, do_shift=self.do_shift,
+                compute_dtype=self.compute_dtype)
+            return y, stats, scale, nbias
+
         if self.fused:
             parts, affines = x
             H, W = self.fused_hw
@@ -407,23 +437,31 @@ class StackedConvBlocks(nn.Module):
     fused_hw: Optional[Tuple[int, int]] = None
     fused_interpret: bool = False
     fused_q: Optional[Tuple[int, int, int]] = None
+    # quadrant-native strided transition: block0 leaves the quadrant level
+    # via quadrant_strided_shift_conv (see ShiftConvBlock.fused_q_strided);
+    # the remaining blocks run the plain fused CF path at the level-below
+    # geometry (fused_hw). x is then ([normalized quadrant tensor], [None]).
+    q_transition: Optional[Tuple[Tuple[int, int, int], int, int, int]] = None
 
     @nn.compact
     def __call__(self, x):
         """x may be a list (implicit concat) — only the first conv sees it.
 
         fused=True: x is (parts, affines); every conv must be stride 1
-        (convolutional pooling stays on the XLA path). Blocks are chained
-        through their instance-norm STATISTICS: block i's norm + lrelu is
-        applied on load by block i+1 (ops/fused_block.py). Returns the
-        final block's (raw, stats, norm_scale, norm_bias) pending
-        normalization. fused_q: quadrant layout (ops/qfused.py)."""
+        (convolutional pooling stays on the XLA path — or, with
+        q_transition, block0 IS the convolutional pooling computed
+        natively on the quadrant tensor). Blocks are chained through their
+        instance-norm STATISTICS: block i's norm + lrelu is applied on
+        load by block i+1 (ops/fused_block.py). Returns the final block's
+        (raw, stats, norm_scale, norm_bias) pending normalization.
+        fused_q: quadrant layout (ops/qfused.py)."""
         if self.fused:
             from .fused_block import norm_affine_from_stats
             from .qfused import quadrant_norm_affine
             parts, affines = x
             H, W = self.fused_hw
-            assert self.first_stride == (1, 1, 1)
+            assert self.first_stride == (1, 1, 1) \
+                or self.q_transition is not None
             D = int(parts[0].shape[1])
             Q = (int(np.prod(self.fused_q))
                  if self.fused_q is not None else 1)
@@ -444,6 +482,7 @@ class StackedConvBlocks(nn.Module):
                     shift_size=self.shift_size, do_shift=self.do_shift,
                     compute_dtype=self.compute_dtype, fused=True,
                     fused_hw=self.fused_hw, fused_q=self.fused_q,
+                    fused_q_strided=(self.q_transition if i == 0 else None),
                     fused_interpret=self.fused_interpret,
                     name=f"block{i}")((parts, affines))
             return out

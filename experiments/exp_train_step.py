@@ -27,6 +27,7 @@ def log(*a):
 def main():
     fused = "--no_fused" not in sys.argv
     remat = "--no_remat" not in sys.argv
+    quadrant = "--no_quadrant" not in sys.argv
     max_level = 1 if "--max_level1" in sys.argv else 0
     patch = (80, 192, 160)
     pools = ((2, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2), (1, 2, 2))
@@ -36,7 +37,7 @@ def main():
         input_channels=1, num_classes=n_classes,
         pool_op_kernel_sizes=pools, base_num_features=48,
         compute_dtype=jnp.bfloat16, fused=fused, fused_max_level=max_level,
-        remat=remat)
+        quadrant=quadrant, remat=remat)
     x = jnp.zeros((B, *patch, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
     state = create_train_state(params)

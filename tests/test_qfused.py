@@ -346,3 +346,46 @@ def test_sliding_with_quadrant_logits_matches_plain():
     np.testing.assert_allclose(np.asarray(probs_q),
                                np.asarray(probs_plain),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("q", QS)
+@pytest.mark.parametrize("shift", [True, False])
+def test_quadrant_strided_shift_conv_matches(q, shift):
+    """The quadrant-native encoder transition (block-algebra depth shift +
+    strided (1,3,3) conv, ops/qfused.quadrant_strided_shift_conv) == the
+    full-res oracle depth_shift -> strided conv, and its stats match the
+    direct sums."""
+    D, H, W, C, CO = 8, 8, 8, 7, 6
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 4)
+    x = _mk(k0, (2, D, H, W, C))
+    kern = _mk(k1, (3, 3, C, CO), 0.3)
+    bias = _mk(k2, (CO,), 0.2)
+    qd, qh, qw = q
+    Hq, Wq = H // qh, W // qw
+    Wqp = choose_wqp(Hq, Wq)
+
+    xs = depth_shift(x, 5) if shift else x
+    y_ref = blocks.conv3d_one_flat(xs, kern, bias, q, 0, jnp.float32)
+    # keep only the strided-output geometry (D//qd, H//qh, W//qw)
+    assert y_ref.shape == (2, D // qd, Hq, Wq, CO)
+
+    xq = to_quadrant_cf(x, q, Wqp)
+    Wp_out = Wqp + qw           # exercise the output re-pad too
+    y, stats = qfused.quadrant_strided_shift_conv(
+        xq, kern, bias, q, Hq, Wq, Wp_out, do_shift=shift,
+        compute_dtype=jnp.float32)
+    assert y.shape == (2, D // qd, CO, Hq * Wp_out)
+    got = y.reshape(2, D // qd, CO, Hq, Wp_out)[..., :Wq]
+    got = jnp.transpose(got, (0, 1, 3, 4, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+    # padding columns zero
+    padcols = np.asarray(y.reshape(2, D // qd, CO, Hq, Wp_out)[..., Wq:])
+    assert np.all(padcols == 0)
+    # stats = [sum, sumsq] over valid voxels, f32
+    yf = np.asarray(y_ref, np.float32)
+    np.testing.assert_allclose(np.asarray(stats[..., 0]),
+                               yf.sum((1, 2, 3)), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats[..., 1]),
+                               (yf * yf).sum((1, 2, 3)), rtol=1e-4,
+                               atol=1e-4)
