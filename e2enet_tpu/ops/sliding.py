@@ -212,12 +212,17 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
     wacc = jnp.zeros((X, Y, Z), accum_dtype)
     flags_chunks = jnp.asarray(flip_flags)
 
-    # quadrant-layout logits (rank 4): TTA unflip + softmax stay in the
-    # quadrant layout (ops/qfused.quadrant_flip_select — channel-block
-    # swaps + revs as fusible flip+select pairs); the de-quadrantize
-    # happens once per TILE, not once per mirror pass. (A lax.switch
-    # variant of the flips was measured: the HLO conditionals block
-    # fusion and add full-tensor copies — net 10% SLOWER than selects.)
+    # quadrant-layout logits (rank 4): softmax + TTA unflip stay in the
+    # quadrant layout; the de-quadrantize happens once per TILE, not once
+    # per mirror pass. Unflip algebra (ops/qfused): the d-flip and the
+    # COMBINED hw-flip are cheap on the flat lane layout (axis revs +
+    # channel-block swaps + one 2-lane roll — no lane-split reshape), so
+    # each pass applies d iff flagged and hw iff h flagged; passes where
+    # exactly one of (h, w) was mirrored then still owe a single w-flip —
+    # those accumulate into a second accumulator that is w-flipped ONCE
+    # per tile. (Measured alternatives: per-pass 8-D flip+selects lost
+    # ~7 ms/pass to unaligned relayouts; lax.switch over static combos
+    # was 10% slower still — HLO conditionals block fusion.)
     out_aval = jax.eval_shape(
         apply_fn, params,
         jax.ShapeDtypeStruct((1, pd, ph, pw, C), volume.dtype))
@@ -227,7 +232,8 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
             "apply_fn emits quadrant logits; pass quadrant_meta=(q, Hq, Wq)"
         assert tta_batch == 1, "quadrant logits require tta_batch=1"
         q0, Hq_, Wq_ = quadrant_meta
-        from .qfused import (from_quadrant_cf, quadrant_flip_select,
+        from .qfused import (from_quadrant_cf, quadrant_flip_d_cf,
+                             quadrant_flip_hw_cf, quadrant_flip_w_cf,
                              quadrant_softmax_f32)
 
     def body(carry, inp):
@@ -238,15 +244,29 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
                                       (pd, ph, pw, C))
 
         if quad_out:
-            def tta_pass(prob_sum, flags):
-                pf = apply_flips(patch, flags[0])
+            def tta_pass(acc2, flags):
+                f = flags[0]
+                pf = apply_flips(patch, f)
                 lq = apply_fn(params, pf[None])
-                lq = quadrant_flip_select(lq, q0, Hq_, Wq_, flags[0])
-                return prob_sum + quadrant_softmax_f32(
-                    lq, q0, num_classes), None
+                # softmax commutes with the spatial unflips (pointwise
+                # over the class channels) — run it first, bitwise equal
+                p = quadrant_softmax_f32(lq, q0, num_classes)
+                p = jnp.where(f[0], quadrant_flip_d_cf(p, q0), p)
+                p = jnp.where(f[1],
+                              quadrant_flip_hw_cf(p, q0, Hq_, Wq_), p)
+                # residual single w-flip owed iff exactly one of (h, w)
+                # was mirrored — route into acc2[1], flipped per tile
+                idx = jnp.logical_xor(f[1], f[2]).astype(jnp.int32)
+                cur = jax.lax.dynamic_slice_in_dim(acc2, idx, 1, axis=0)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    acc2, cur + p[None], idx, axis=0), None
 
-            prob_sum = jnp.zeros(out_aval.shape, jnp.float32)
-            prob_sum, _ = jax.lax.scan(tta_pass, prob_sum, flags_chunks)
+            acc2 = jnp.zeros((2, *out_aval.shape), jnp.float32)
+            acc2, _ = jax.lax.scan(tta_pass, acc2, flags_chunks)
+            prob_sum = acc2[0]
+            if n_tta > 1:
+                prob_sum = prob_sum + quadrant_flip_w_cf(acc2[1], q0,
+                                                         Hq_, Wq_)
             prob_sum = from_quadrant_cf(prob_sum, q0, Hq_, Wq_,
                                         num_classes)[0]
         else:

@@ -34,6 +34,8 @@ def main():
     apply_fn = lambda p, x: model.apply(p, x, do_ds=False)
     qmeta = (((2, 2, 2), 64, 64) if quadrant else None)
     predictor = make_tiled_predictor(apply_fn, patch, num_classes,
+                                     mirror_axes=(0, 1, 2),
+                                     do_mirroring=True,
                                      quadrant_meta=qmeta)
     vol = jnp.zeros((192, 192, 192, 1), jnp.float32)
     starts = jnp.zeros((8, 3), jnp.int32)

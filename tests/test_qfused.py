@@ -389,3 +389,25 @@ def test_quadrant_strided_shift_conv_matches(q, shift):
     np.testing.assert_allclose(np.asarray(stats[..., 1]),
                                (yf * yf).sum((1, 2, 3)), rtol=1e-4,
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("q", QS)
+def test_quadrant_flip_cf_primitives(q):
+    """The flat-layout flip primitives (d / combined-hw / w-only) == flips
+    in true space (valid region; padding lanes are allowed to differ)."""
+    from e2enet_tpu.ops.qfused import (quadrant_flip_d_cf,
+                                       quadrant_flip_hw_cf,
+                                       quadrant_flip_w_cf)
+    D, H, W, C = 8, 8, 8, 3
+    qd, qh, qw = q
+    Hq, Wq = H // qh, W // qw
+    Wqp = choose_wqp(Hq, Wq)
+    x = _mk(jax.random.PRNGKey(21), (2, D, H, W, C))
+    xq = to_quadrant_cf(x, q, Wqp)
+
+    for fn, axes in ((lambda t: quadrant_flip_d_cf(t, q), (1,)),
+                     (lambda t: quadrant_flip_hw_cf(t, q, Hq, Wq), (2, 3)),
+                     (lambda t: quadrant_flip_w_cf(t, q, Hq, Wq), (3,))):
+        got = from_quadrant_cf(fn(xq), q, Hq, Wq, C)
+        ref = jnp.flip(x, axis=axes)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
