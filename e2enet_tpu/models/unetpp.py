@@ -179,10 +179,13 @@ class ShiftUNetPlusPlus(nn.Module):
                 return False
             if i > self.fused_max_level or level_wp[i] == 0:
                 return False
-            if cd != jnp.bfloat16 and not self.fused_interpret:
+            if cd not in (jnp.bfloat16, jnp.float32) \
+                    and not self.fused_interpret:
                 return False
             _, H, W = level_size[i]
-            return fused_block_supported(part_channels, H, W, co)
+            return fused_block_supported(
+                part_channels, H, W, co,
+                itemsize=jnp.dtype(cd).itemsize)
 
         # ---------------- quadrant (space-to-depth) level 0
         q0 = pools[0]

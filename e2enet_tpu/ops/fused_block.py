@@ -75,6 +75,14 @@ def choose_wp(H: int, W: int, multiple: int = 1) -> int:
     return wp
 
 
+def _prec(dtype):
+    # this XLA/Mosaic build computes f32 dots at reduced precision by
+    # default; force the exact 6-pass algorithm when the compute dtype is
+    # f32 (golden parity suite) — bf16 keeps the fast default
+    return (jax.lax.Precision.HIGHEST
+            if dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+
 def _kernel(*refs, part_channels, part_channels_log, part_affine, groups,
             D, H, W, Wp, CO, do_stats, out_dtype):
     """refs: [x_hbm_0..x_hbm_{P-1}, w2, b, colmask, (mult_p, off_p)*,
@@ -182,7 +190,8 @@ def _kernel(*refs, part_channels, part_channels_log, part_affine, groups,
             acc = acc + jax.lax.dot_general(
                 w_ref[t * C:(t + 1) * C, :], a,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_prec(out_dtype))
             t += 1
     # zero the padding columns so chained consumers read true zeros; taps
     # only ever see zeros there, so conv output at padding columns is
@@ -216,11 +225,11 @@ def _vmem_bytes(part_channels, H, Wp, CO, itemsize=2):
 
 
 def fused_block_supported(part_channels, H, W, CO,
-                          budget=100 * 2 ** 20) -> bool:
+                          budget=100 * 2 ** 20, itemsize=2) -> bool:
     if W > 254 or W < 2 or H < 2:
         return False
     wp = choose_wp(H, W)
-    return _vmem_bytes(part_channels, H, wp, CO) < budget
+    return _vmem_bytes(part_channels, H, wp, CO, itemsize) < budget
 
 
 FusedStatic = collections.namedtuple(
@@ -237,7 +246,10 @@ def _forward(parts, w2, b, affines, static: FusedStatic):
 
     # physicalize: bf16 manual DMA needs an even sublane (channel) count per
     # part — pad odd parts with a zero channel and give it zero weight rows
-    pad_to = 2 if dtype == jnp.bfloat16 else 1
+    pad_to = 2 if dtype == jnp.bfloat16 else 8
+    # bf16: even sublane count per part for manual DMA; f32: Mosaic
+    # crashes on partial (8,128) sublane tiles -> pad parts to 8
+    # zero channels (zero weight rows keep the math identical)
     phys = [ci + (-ci) % pad_to for ci in s.part_channels]
     if phys != list(s.part_channels):
         pparts, wrows = [], []
@@ -451,7 +463,8 @@ def _bwd_kernel(*refs, part_channels, part_channels_log, part_affine,
                     contrib = jax.lax.dot_general(
                         w_ref[t * C:(t + 1) * C, :], a,
                         dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_prec(out_dtype))
                     if t == 0:
                         ct_acc[...] = contrib
                     else:
@@ -469,7 +482,8 @@ def _bwd_kernel(*refs, part_channels, part_channels_log, part_affine,
                     gwc = jax.lax.dot_general(
                         stap, geb,
                         dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # (C, CO)
+                        preferred_element_type=jnp.float32,   # (C, CO)
+                        precision=_prec(out_dtype))
 
                     @pl.when((n == 0) & (e == 0))
                     def _(t=t, gwc=gwc):
@@ -546,7 +560,10 @@ def _bwd_pallas(parts, w2, b, affines, y, gy, gstats, static: FusedStatic):
     N = parts[0].shape[0]
     HWp = s.H * s.Wp
     dtype = parts[0].dtype
-    pad_to = 2 if dtype == jnp.bfloat16 else 1
+    pad_to = 2 if dtype == jnp.bfloat16 else 8
+    # bf16: even sublane count per part for manual DMA; f32: Mosaic
+    # crashes on partial (8,128) sublane tiles -> pad parts to 8
+    # zero channels (zero weight rows keep the math identical)
     phys = [ci + (-ci) % pad_to for ci in s.part_channels]
     # physicalize parts + weights like the forward
     if phys != list(s.part_channels):
@@ -703,7 +720,8 @@ def _xla_reference(parts, w2, b, affines, static: FusedStatic):
         x2, wk.astype(dtype), window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NCHW", "HWIO", "NCHW"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_prec(dtype))
     y = (y + b.astype(jnp.float32)[None, :, None, None]).reshape(
         N, D, s.CO, HWp)
     # NOTE the kernel's taps read real zeros beyond row ends (padded
@@ -824,7 +842,8 @@ def _fused_bwd_xla(static, res, g):
         g2, wk_t.astype(dtype), window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NCHW", "HWIO", "NCHW"),
-        preferred_element_type=jnp.float32).astype(dtype)
+        preferred_element_type=jnp.float32,
+        precision=_prec(dtype)).astype(dtype)
     gS = gS.reshape(N, D, C, HWp)
 
     # wgrad: gw[kh,kw,ci,co] = sum over (n,d,h,w) S[.., h+kh-1, w+kw-1, ci]
@@ -839,7 +858,8 @@ def _fused_bwd_xla(static, res, g):
         g2.transpose(1, 0, 2, 3).astype(dtype),        # (CO, ND, H, Wp)
         window_strides=(1, 1), padding=((1, 1), (1, 1)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_prec(dtype))
     # out (C, CO, 3, 3) -> (3, 3, C, CO) -> (9C, CO)
     gw = gw.transpose(2, 3, 0, 1).reshape(9 * C, s.CO).astype(w2.dtype)
 

@@ -96,8 +96,11 @@ def main():
         total += dur
     log(f"total device op time: {total:.1f} ms; device busy span: "
         f"{(tmax - tmin)/1e3 if tmin is not None else 0:.1f} ms")
-    for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[:30]:
+    shown = 0.0
+    for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[:90]:
+        shown += ms
         log(f"  {ms:8.3f} ms  {name[:110]}")
+    log(f"(top-90 leaves sum {shown:.1f} ms)")
 
 
 if __name__ == "__main__":
