@@ -109,11 +109,17 @@ def _kernel(*refs, part_channels, part_channels_log, part_affine, groups,
     HWp = H * Wp
     C = sum(part_channels)
     pad = 2
+    # NSLOT_F = NSLOT + 1: the extra slot lets step d START the DMA for
+    # d+pad+1 right after WAITING the one for d+pad (started at step d-1),
+    # so the next slice's fetch rides under this step's dots. Start must
+    # follow the wait — the per-part semaphore is a plain counter; two
+    # equal-size in-flight copies would satisfy each other's wait.
+    nslot = NSLOT + 1
 
     def slot(src_d):
-        return jax.lax.rem(src_d + 2 * NSLOT, NSLOT)
+        return jax.lax.rem(src_d + 2 * nslot, nslot)
 
-    def fetch(src_d):
+    def start_fetch(src_d):
         s = slot(src_d)
         inb = (src_d >= 0) & (src_d < D)
 
@@ -122,14 +128,21 @@ def _kernel(*refs, part_channels, part_channels_log, part_affine, groups,
             for p in range(P):
                 pltpu.make_async_copy(xs[p].at[n, src_d], rings[p].at[s],
                                       sem.at[p]).start()
-            for p in range(P):
-                pltpu.make_async_copy(xs[p].at[n, src_d], rings[p].at[s],
-                                      sem.at[p]).wait()
 
         @pl.when(jnp.logical_not(inb))
         def _():
             for p in range(P):
                 rings[p][s] = jnp.zeros_like(rings[p][s])
+
+    def wait_fetch(src_d):
+        s = slot(src_d)
+        inb = (src_d >= 0) & (src_d < D)
+
+        @pl.when(inb)
+        def _():
+            for p in range(P):
+                pltpu.make_async_copy(xs[p].at[n, src_d], rings[p].at[s],
+                                      sem.at[p]).wait()
 
     @pl.when((n == 0) & (d == 0))
     def _():
@@ -142,9 +155,12 @@ def _kernel(*refs, part_channels, part_channels_log, part_affine, groups,
     @pl.when(d == 0)
     def _():
         for src in range(-pad, pad):
-            fetch(jnp.int32(src))
+            start_fetch(jnp.int32(src))
+            wait_fetch(jnp.int32(src))
+        start_fetch(jnp.int32(pad))
 
-    fetch(d + pad)
+    wait_fetch(d + pad)
+    start_fetch(d + pad + 1)
 
     # ---- assemble the shifted, affine-normalized slice into sref.
     # groups and part boundaries are in LOGICAL channels; sref rows are laid
@@ -217,7 +233,7 @@ def _kernel(*refs, part_channels, part_channels_log, part_affine, groups,
 def _vmem_bytes(part_channels, H, Wp, CO, itemsize=2):
     HWp = H * Wp
     C = sum(part_channels)
-    ring = NSLOT * C * HWp * itemsize
+    ring = (NSLOT + 1) * C * HWp * itemsize    # +1: fwd prefetch slot
     sref = C * (HWp + 2 * HALO) * itemsize
     acc = CO * HWp * 4
     outs = 2 * CO * HWp * itemsize
@@ -287,7 +303,7 @@ def _forward(parts, w2, b, affines, static: FusedStatic):
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((N, s.CO, 2), jnp.float32))
 
-    scratch = ([pltpu.VMEM((NSLOT, pc, HWp), dtype)
+    scratch = ([pltpu.VMEM((NSLOT + 1, pc, HWp), dtype)   # +1: prefetch
                 for pc in phys]
                + [pltpu.VMEM((C, HWp + 2 * HALO), dtype),
                   pltpu.SemaphoreType.DMA((len(parts),))])
