@@ -59,6 +59,28 @@ HALO = 256      # halo lanes each side; covers |dh*Wp + dw| <= Wp+1, W <= 254
 LRELU_SLOPE = 0.01
 INSTNORM_EPS = 1e-5
 
+# Experimental: stack the 9 conv-tap slices into one (9C, LT) scratch per
+# lane tile and contract them in ONE K-merged MXU dot (K: C -> 9C) instead
+# of 9 small-K dots chained through an f32 accumulator. Trades one extra
+# VMEM copy pass of the operand for ~2x fewer padded MXU passes and a
+# single accumulator touch. A/B flag until measured on hardware.
+import os as _os
+TAP_STACK = _os.environ.get("FUSED_TAP_STACK", "0") == "1"
+
+
+def _choose_lane_tile(HWp: int, rows: int, budget: int = 12 * 2 ** 20) -> int:
+    """Largest divisor LT of HWp (multiple of 128) whose (rows, LT) bf16
+    stack scratch fits the budget; 0 if none."""
+    best = 0
+    n = HWp // 128
+    for k in range(1, n + 1):
+        if n % k:
+            continue
+        lt = 128 * k
+        if rows * lt * 2 <= budget:
+            best = lt
+    return best
+
 
 def choose_wp(H: int, W: int, multiple: int = 1) -> int:
     """Smallest Wp >= W+1 with H*Wp % 128 == 0 (trailing zero columns pad
@@ -84,9 +106,9 @@ def _prec(dtype):
 
 
 def _kernel(*refs, part_channels, part_channels_log, part_affine, groups,
-            D, H, W, Wp, CO, do_stats, out_dtype):
+            D, H, W, Wp, CO, do_stats, out_dtype, lane_tile=0):
     """refs: [x_hbm_0..x_hbm_{P-1}, w2, b, colmask, (mult_p, off_p)*,
-    o_y, (o_stats), ring_0.., sref, sem]."""
+    o_y, (o_stats), ring_0.., sref, (stk), sem]."""
     P = len(part_channels)
     n_aff = sum(part_affine)
     xs = refs[:P]
@@ -102,7 +124,12 @@ def _kernel(*refs, part_channels, part_channels_log, part_affine, groups,
         o_y = outs[0]
         scratches = outs[1:]
     rings = scratches[:P]
-    sref, sem = scratches[P], scratches[P + 1]
+    sref = scratches[P]
+    if lane_tile:
+        stk = scratches[P + 1]
+        sem = scratches[P + 2]
+    else:
+        sem = scratches[P + 1]
 
     n = pl.program_id(0)
     d = pl.program_id(1)
@@ -197,6 +224,44 @@ def _kernel(*refs, part_channels, part_channels_log, part_affine, groups,
 
     # ---- conv: 9 taps as direct haloed slices (no masks — padding columns
     # and halo lanes are zero), f32 accumulation on the MXU
+    if lane_tile:
+        # K-merged variant: per lane tile, stack the 9 tap slices into a
+        # (9C, LT) scratch and contract in ONE dot (K = 9C). One
+        # accumulator touch and ~2x fewer padded MXU passes per tile.
+        s1t, s2t = None, None
+        for t0 in range(0, HWp, lane_tile):
+            t = 0
+            for dh in (-1, 0, 1):
+                for dw in (-1, 0, 1):
+                    off = dh * Wp + dw
+                    stk[t * C:(t + 1) * C, :] = sref[
+                        :, HALO + off + t0:HALO + off + t0 + lane_tile]
+                    t += 1
+            cmt = cm_ref[:, t0:t0 + lane_tile]
+            acc = jax.lax.dot_general(
+                w_ref[:], stk[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_prec(out_dtype))
+            acc = (acc + b_ref[:].astype(jnp.float32)[:, None]) * cmt
+            o_y[0, 0, :, t0:t0 + lane_tile] = acc.astype(out_dtype)
+            if do_stats:
+                p1 = jnp.sum(acc, axis=1, keepdims=True)
+                p2 = jnp.sum(acc * acc, axis=1, keepdims=True)
+                s1t = p1 if s1t is None else s1t + p1
+                s2t = p2 if s2t is None else s2t + p2
+        if do_stats:
+            @pl.when(d == 0)
+            def _():
+                o_stats[0, :, 0:1] = s1t
+                o_stats[0, :, 1:2] = s2t
+
+            @pl.when(d != 0)
+            def _():
+                o_stats[0, :, 0:1] += s1t
+                o_stats[0, :, 1:2] += s2t
+        return
+
     acc = b_ref[:].astype(jnp.float32)[:, None] * cm_ref[...]
     t = 0
     for dh in (-1, 0, 1):
@@ -284,11 +349,13 @@ def _forward(parts, w2, b, affines, static: FusedStatic):
         w2 = jnp.concatenate(wrows, axis=1).reshape(9 * sum(phys), s.CO)
     C = sum(phys)
 
+    lane_tile = (_choose_lane_tile(HWp, 9 * C)
+                 if TAP_STACK and dtype == jnp.bfloat16 else 0)
     kfn = functools.partial(
         _kernel, part_channels=tuple(phys),
         part_channels_log=s.part_channels, part_affine=s.part_affine,
         groups=s.groups, D=s.D, H=s.H, W=s.W, Wp=s.Wp, CO=s.CO,
-        do_stats=s.do_stats, out_dtype=dtype)
+        do_stats=s.do_stats, out_dtype=dtype, lane_tile=lane_tile)
 
     lane = np.arange(HWp) % s.Wp
     colmask = jnp.asarray((lane < s.W).astype(np.float32)[None, :])
@@ -305,8 +372,10 @@ def _forward(parts, w2, b, affines, static: FusedStatic):
 
     scratch = ([pltpu.VMEM((NSLOT + 1, pc, HWp), dtype)   # +1: prefetch
                 for pc in phys]
-               + [pltpu.VMEM((C, HWp + 2 * HALO), dtype),
-                  pltpu.SemaphoreType.DMA((len(parts),))])
+               + [pltpu.VMEM((C, HWp + 2 * HALO), dtype)]
+               + ([pltpu.VMEM((9 * C, lane_tile), dtype)] if lane_tile
+                  else [])
+               + [pltpu.SemaphoreType.DMA((len(parts),))])
 
     out = pl.pallas_call(
         kfn,
@@ -366,8 +435,8 @@ def _bwd_kernel(*refs, part_channels, part_channels_log, part_affine,
     gaffs = refs[idx:idx + n_aff]; idx += n_aff   # (N, Cp, 2) f32 each
     # scratch
     rings = refs[idx:idx + P]; idx += P
-    gybuf = refs[idx]; idx += 1          # (CO, HWp)
-    ybuf = refs[idx]; idx += 1           # (CO, HWp)
+    gybuf = refs[idx]; idx += 1          # (2, CO, HWp) double-buffered
+    ybuf = refs[idx]; idx += 1           # (2, CO, HWp)
     geff = refs[idx]; idx += 1           # (CO, HWp + 2*HALO) haloed
     ct_ring = refs[idx]; idx += 1        # (NSLOT, C, HWp)
     ct_acc = refs[idx]; idx += 1         # (C, HWp) f32 accumulator
@@ -390,10 +459,20 @@ def _bwd_kernel(*refs, part_channels, part_channels_log, part_affine,
         aff_idx.append(ai if part_affine[p] else None)
         ai += 1 if part_affine[p] else 0
 
+    # parts ring: NSLOT+1 slots — step dd WAITS the copy for dd+4 (started
+    # at dd-1) then STARTS dd+5, so the next slice's fetch rides under this
+    # step's dots (strict wait-then-start: the per-part semaphore is a
+    # plain counter). Live depths at step dd: dd..dd+5 = 6 slots.
+    nslot = NSLOT + 1
+
     def slot(src_d):
+        return jax.lax.rem(src_d + 2 * nslot, nslot)
+
+    def cslot(src_d):
+        # ct ring keeps NSLOT slots (live window dd-2..dd+2)
         return jax.lax.rem(src_d + 2 * NSLOT, NSLOT)
 
-    def fetch_parts(src_d):
+    def start_parts(src_d):
         s = slot(src_d)
         inb = (src_d >= 0) & (src_d < D)
 
@@ -402,14 +481,45 @@ def _bwd_kernel(*refs, part_channels, part_channels_log, part_affine,
             for p in range(P):
                 pltpu.make_async_copy(xs[p].at[n, src_d], rings[p].at[s],
                                       sem.at[p]).start()
-            for p in range(P):
-                pltpu.make_async_copy(xs[p].at[n, src_d], rings[p].at[s],
-                                      sem.at[p]).wait()
 
         @pl.when(jnp.logical_not(inb))
         def _():
             for p in range(P):
                 rings[p][s] = jnp.zeros_like(rings[p][s])
+
+    def wait_parts(src_d):
+        s = slot(src_d)
+        inb = (src_d >= 0) & (src_d < D)
+
+        @pl.when(inb)
+        def _():
+            for p in range(P):
+                pltpu.make_async_copy(xs[p].at[n, src_d], rings[p].at[s],
+                                      sem.at[p]).wait()
+
+    # gy/y double buffer: wait e (started at the previous step), start e+1
+    def gy_slot(e):
+        return jax.lax.rem(e + 4, 2)
+
+    def start_gy(e):
+        sl = gy_slot(e)
+
+        @pl.when((e >= 0) & (e < D))
+        def _():
+            pltpu.make_async_copy(gy_hbm.at[n, e], gybuf.at[sl],
+                                  sem.at[P]).start()
+            pltpu.make_async_copy(y_hbm.at[n, e], ybuf.at[sl],
+                                  sem.at[P + 1]).start()
+
+    def wait_gy(e):
+        sl = gy_slot(e)
+
+        @pl.when((e >= 0) & (e < D))
+        def _():
+            pltpu.make_async_copy(gy_hbm.at[n, e], gybuf.at[sl],
+                                  sem.at[P]).wait()
+            pltpu.make_async_copy(y_hbm.at[n, e], ybuf.at[sl],
+                                  sem.at[P + 1]).wait()
 
     def assemble_S(e):
         """Fwd shifted+normalized operand S[e] into sref (body lanes)."""
@@ -432,23 +542,19 @@ def _bwd_kernel(*refs, part_channels, part_channels_log, part_affine,
                 sref[q0 + l0:q0 + l1, HALO:HALO + HWp] = row
 
     def process_e(e):
-        """gy_eff[e] -> ct ring; wgrad & bias grad at e."""
+        """gy_eff[e] -> ct ring; wgrad & bias grad at e. The gy/y buffers
+        for e were DMA'd at the previous step (wait_gy(e) already done)."""
         inb = (e >= 0) & (e < D)
 
         @pl.when(inb)
         def _():
-            cpg = pltpu.make_async_copy(gy_hbm.at[n, e], gybuf, sem.at[P])
-            cpy = pltpu.make_async_copy(y_hbm.at[n, e], ybuf, sem.at[P + 1])
-            cpg.start()
-            cpy.start()
-            cpg.wait()
-            cpy.wait()
+            sl = gy_slot(e)
             # bf16 math (the value is cast to bf16 for the dots anyway);
             # full-width f32 chains here spill tens of MB of vregs
             gs1 = gs_ref[n, :, 0:1].astype(gybuf.dtype)   # (CO, 1)
             gs2 = (2.0 * gs_ref[n, :, 1:2]).astype(gybuf.dtype)
             cmb = cm_ref[...].astype(gybuf.dtype)
-            geb = (gybuf[...] + gs1 + ybuf[...] * gs2) * cmb
+            geb = (gybuf[sl] + gs1 + ybuf[sl] * gs2) * cmb
             geff[:, HALO:HALO + HWp] = geb
 
             # bias grad (f32 accumulation of the bf16 row)
@@ -486,7 +592,7 @@ def _bwd_kernel(*refs, part_channels, part_channels_log, part_affine,
                     else:
                         ct_acc[...] += contrib
                     t += 1
-            ct_ring[slot(e)] = ct_acc[...].astype(ct_ring.dtype)
+            ct_ring[cslot(e)] = ct_acc[...].astype(ct_ring.dtype)
 
             # wgrad at e: S[e] assembled from parts rings
             assemble_S(e)
@@ -512,25 +618,27 @@ def _bwd_kernel(*refs, part_channels, part_channels_log, part_affine,
 
         @pl.when(jnp.logical_not(inb))
         def _():
-            ct_ring[slot(e)] = jnp.zeros_like(ct_ring[slot(e)])
+            ct_ring[cslot(e)] = jnp.zeros_like(ct_ring[cslot(e)])
 
     @pl.when((n == 0) & (dd == -4))
     def _():
         sref[...] = jnp.zeros_like(sref)
         geff[...] = jnp.zeros_like(geff)
 
-    # zero-fill the negative-depth ring rows once per sample; their slots
-    # (slot(-2) == slot(3), slot(-1) == slot(4)) are re-fetched with real
-    # rows only AFTER process_e has consumed the zeros
+    # zero-fill the negative-depth ring rows once per sample; those slots
+    # are re-fetched with real rows only AFTER assemble_S has consumed the
+    # zeros (last read of depth -2 is assemble_S(0) at dd == -2; its slot
+    # is restarted at dd == -1)
     @pl.when(dd == -4)
     def _():
-        fetch_parts(jnp.int32(-2))
+        start_parts(jnp.int32(-2))      # zero-fills (inb false)
+        start_parts(jnp.int32(-1))
+        start_parts(jnp.int32(0))       # waited just below
 
-    @pl.when(dd == -3)
-    def _():
-        fetch_parts(jnp.int32(-1))
-
-    fetch_parts(dd + 4)     # rows 0..D-1 as dd walks -4..D-1
+    wait_parts(dd + 4)      # rows 0..D-1 as dd walks -4..D-1
+    start_parts(dd + 5)     # prefetch rides under this step's dots
+    wait_gy(dd + 2)
+    start_gy(dd + 3)
     process_e(dd + 2)       # e = -2..D+1; invalid e zeroes its ct slot
 
     # ---- emit gx[dd]: shift adjoint from the ct ring + affine backward
@@ -544,7 +652,7 @@ def _bwd_kernel(*refs, part_channels, part_channels_log, part_affine,
                 if c0 >= c1:
                     continue
                 l0, l1 = c0 - p0, c1 - p0
-                gu = ct_ring[slot(dd + sft)][q0 + l0:q0 + l1, :]
+                gu = ct_ring[cslot(dd + sft)][q0 + l0:q0 + l1, :]
                 if part_affine[p]:
                     x_row = rings[p][slot(dd)][l0:l1, :].astype(jnp.float32)
                     m = aff_refs[2 * aff_idx[p]][n, l0:l1, :]
@@ -641,9 +749,10 @@ def _bwd_pallas(parts, w2, b, affines, y, gy, gstats, static: FusedStatic):
         + [jax.ShapeDtypeStruct((N, cp, 2), jnp.float32)
            for p, cp in enumerate(phys) if s.part_affine[p]])
 
-    scratch = ([pltpu.VMEM((NSLOT, cp, HWp), dtype) for cp in phys]
-               + [pltpu.VMEM((s.CO, HWp), dtype),              # gybuf
-                  pltpu.VMEM((s.CO, HWp), dtype),              # ybuf
+    scratch = ([pltpu.VMEM((NSLOT + 1, cp, HWp), dtype)   # +1: prefetch
+                for cp in phys]
+               + [pltpu.VMEM((2, s.CO, HWp), dtype),           # gybuf (db)
+                  pltpu.VMEM((2, s.CO, HWp), dtype),           # ybuf (db)
                   pltpu.VMEM((s.CO, HWp + 2 * HALO), dtype),   # geff halo
                   pltpu.VMEM((NSLOT, C, HWp), dtype),          # ct ring
                   pltpu.VMEM((C, HWp), jnp.float32),           # ct acc
