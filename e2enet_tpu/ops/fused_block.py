@@ -59,29 +59,6 @@ HALO = 256      # halo lanes each side; covers |dh*Wp + dw| <= Wp+1, W <= 254
 LRELU_SLOPE = 0.01
 INSTNORM_EPS = 1e-5
 
-# Experimental: stack the 9 conv-tap slices into one (9C, LT) scratch per
-# lane tile and contract them in ONE K-merged MXU dot (K: C -> 9C) instead
-# of 9 small-K dots chained through an f32 accumulator. Trades one extra
-# VMEM copy pass of the operand for ~2x fewer padded MXU passes and a
-# single accumulator touch. A/B flag until measured on hardware.
-import os as _os
-TAP_STACK = _os.environ.get("FUSED_TAP_STACK", "0") == "1"
-
-
-def _choose_lane_tile(HWp: int, rows: int, budget: int = 12 * 2 ** 20) -> int:
-    """Largest divisor LT of HWp (multiple of 128) whose (rows, LT) bf16
-    stack scratch fits the budget; 0 if none."""
-    best = 0
-    n = HWp // 128
-    for k in range(1, n + 1):
-        if n % k:
-            continue
-        lt = 128 * k
-        if rows * lt * 2 <= budget:
-            best = lt
-    return best
-
-
 def choose_wp(H: int, W: int, multiple: int = 1) -> int:
     """Smallest Wp >= W+1 with H*Wp % 128 == 0 (trailing zero columns pad
     each image row; >= 1 column so the dw=+1 tap of w=W-1 reads a zero).
@@ -106,9 +83,9 @@ def _prec(dtype):
 
 
 def _kernel(*refs, part_channels, part_channels_log, part_affine, groups,
-            D, H, W, Wp, CO, do_stats, out_dtype, lane_tile=0):
+            D, H, W, Wp, CO, do_stats, out_dtype):
     """refs: [x_hbm_0..x_hbm_{P-1}, w2, b, colmask, (mult_p, off_p)*,
-    o_y, (o_stats), ring_0.., sref, (stk), sem]."""
+    o_y, (o_stats), ring_0.., sref, sem]."""
     P = len(part_channels)
     n_aff = sum(part_affine)
     xs = refs[:P]
@@ -124,12 +101,7 @@ def _kernel(*refs, part_channels, part_channels_log, part_affine, groups,
         o_y = outs[0]
         scratches = outs[1:]
     rings = scratches[:P]
-    sref = scratches[P]
-    if lane_tile:
-        stk = scratches[P + 1]
-        sem = scratches[P + 2]
-    else:
-        sem = scratches[P + 1]
+    sref, sem = scratches[P], scratches[P + 1]
 
     n = pl.program_id(0)
     d = pl.program_id(1)
@@ -224,44 +196,6 @@ def _kernel(*refs, part_channels, part_channels_log, part_affine, groups,
 
     # ---- conv: 9 taps as direct haloed slices (no masks — padding columns
     # and halo lanes are zero), f32 accumulation on the MXU
-    if lane_tile:
-        # K-merged variant: per lane tile, stack the 9 tap slices into a
-        # (9C, LT) scratch and contract in ONE dot (K = 9C). One
-        # accumulator touch and ~2x fewer padded MXU passes per tile.
-        s1t, s2t = None, None
-        for t0 in range(0, HWp, lane_tile):
-            t = 0
-            for dh in (-1, 0, 1):
-                for dw in (-1, 0, 1):
-                    off = dh * Wp + dw
-                    stk[t * C:(t + 1) * C, :] = sref[
-                        :, HALO + off + t0:HALO + off + t0 + lane_tile]
-                    t += 1
-            cmt = cm_ref[:, t0:t0 + lane_tile]
-            acc = jax.lax.dot_general(
-                w_ref[:], stk[:],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_prec(out_dtype))
-            acc = (acc + b_ref[:].astype(jnp.float32)[:, None]) * cmt
-            o_y[0, 0, :, t0:t0 + lane_tile] = acc.astype(out_dtype)
-            if do_stats:
-                p1 = jnp.sum(acc, axis=1, keepdims=True)
-                p2 = jnp.sum(acc * acc, axis=1, keepdims=True)
-                s1t = p1 if s1t is None else s1t + p1
-                s2t = p2 if s2t is None else s2t + p2
-        if do_stats:
-            @pl.when(d == 0)
-            def _():
-                o_stats[0, :, 0:1] = s1t
-                o_stats[0, :, 1:2] = s2t
-
-            @pl.when(d != 0)
-            def _():
-                o_stats[0, :, 0:1] += s1t
-                o_stats[0, :, 1:2] += s2t
-        return
-
     acc = b_ref[:].astype(jnp.float32)[:, None] * cm_ref[...]
     t = 0
     for dh in (-1, 0, 1):
@@ -349,13 +283,11 @@ def _forward(parts, w2, b, affines, static: FusedStatic):
         w2 = jnp.concatenate(wrows, axis=1).reshape(9 * sum(phys), s.CO)
     C = sum(phys)
 
-    lane_tile = (_choose_lane_tile(HWp, 9 * C)
-                 if TAP_STACK and dtype == jnp.bfloat16 else 0)
     kfn = functools.partial(
         _kernel, part_channels=tuple(phys),
         part_channels_log=s.part_channels, part_affine=s.part_affine,
         groups=s.groups, D=s.D, H=s.H, W=s.W, Wp=s.Wp, CO=s.CO,
-        do_stats=s.do_stats, out_dtype=dtype, lane_tile=lane_tile)
+        do_stats=s.do_stats, out_dtype=dtype)
 
     lane = np.arange(HWp) % s.Wp
     colmask = jnp.asarray((lane < s.W).astype(np.float32)[None, :])
@@ -372,10 +304,8 @@ def _forward(parts, w2, b, affines, static: FusedStatic):
 
     scratch = ([pltpu.VMEM((NSLOT + 1, pc, HWp), dtype)   # +1: prefetch
                 for pc in phys]
-               + [pltpu.VMEM((C, HWp + 2 * HALO), dtype)]
-               + ([pltpu.VMEM((9 * C, lane_tile), dtype)] if lane_tile
-                  else [])
-               + [pltpu.SemaphoreType.DMA((len(parts),))])
+               + [pltpu.VMEM((C, HWp + 2 * HALO), dtype),
+                  pltpu.SemaphoreType.DMA((len(parts),))])
 
     out = pl.pallas_call(
         kfn,
