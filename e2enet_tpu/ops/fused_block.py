@@ -700,7 +700,9 @@ def _bwd_pallas(parts, w2, b, affines, y, gy, gstats, static: FusedStatic):
         interpret=s.interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=120 * 2 ** 20),
+            # 127M like qfused: the prefetch ring slots pushed the biggest
+            # 2-part level-0 bwd to 120.06M (> the old 120M limit)
+            vmem_limit_bytes=127 * 2 ** 20),
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * N * s.D * HWp * 9 * C * s.CO,
             bytes_accessed=3 * N * s.D * HWp * (C + s.CO) * 2,

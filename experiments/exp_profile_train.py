@@ -91,6 +91,30 @@ def main():
     for name, ms in sorted(by.items(), key=lambda kv: -kv[1])[:25]:
         log(f"  {ms/3:9.2f} ms  {name[:90]}")
 
+    # attribute copies/fusions: collect the 'long_name'/'tf_op' metadata
+    # XLA attaches to trace events so data-movement ops can be tied to
+    # their HLO source
+    meta = defaultdict(lambda: [0.0, ""])
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X" or "TPU" not in pids.get(ev.get("pid"), ""):
+            continue
+        name = ev.get("name", "?")
+        base = name.split(".")[0]
+        if base not in ("copy", "fusion", "reshape", "broadcast",
+                        "pad_convert_fusion", "slice_bitcast_fusion",
+                        "bitcast_convert_fusion", "transpose"):
+            continue
+        args = ev.get("args", {}) or {}
+        longn = (args.get("long_name") or args.get("tf_op")
+                 or args.get("hlo_op") or "")
+        m = meta[name]
+        m[0] += ev.get("dur", 0) / 1e3
+        if longn and not m[1]:
+            m[1] = str(longn)[:200]
+    log("--- data-movement attribution (top 30)")
+    for name, (ms, longn) in sorted(meta.items(), key=lambda kv: -kv[1][0])[:30]:
+        log(f"  {ms/3:9.2f} ms  {name[:40]}  {longn}")
+
 
 if __name__ == "__main__":
     main()
