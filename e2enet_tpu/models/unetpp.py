@@ -525,9 +525,9 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
     2D plans (patch D == 1) disable the depth shift — the reference never
     shifts in 2D (torch_shift is dim_num==3 only).
     fused: None = auto (Pallas fused blocks on TPU, XLA on CPU).
-    quadrant: None = the model default (on; measured best for inference);
-    the trainer passes False — the quadrant backward currently measures
-    810 vs 787 ms/step (PERF_NOTES.md round-4 table)."""
+    quadrant: None = the model default (on — measured best for BOTH
+    inference and, since round 5 (level-1 fusion + prefetched qfused
+    backward: 684 vs 709 ms/step), training; PERF_NOTES.md)."""
     if fused is None:
         fused = default_fused()
     arch = dict(norm_op=norm_op, nonlin=nonlin)

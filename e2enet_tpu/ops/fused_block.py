@@ -1051,9 +1051,14 @@ def pooled_part_cf(x: jnp.ndarray, mult: jnp.ndarray, off: jnp.ndarray,
     N, D, C, HWp = x.shape
     Wp = HWp // H
     wd, wh, ww = window
-    a = (x.astype(jnp.float32) * mult[:, None, :, None]
-         + off[:, None, :, None])
-    a = jnp.maximum(a, a * LRELU_SLOPE).astype(x.dtype)
+    # bf16 fast path (matches the bf16 instance-norm fma apply in
+    # ops/blocks.py): keeping the affine in bf16 keeps the whole VJP chain
+    # bf16 — the f32 upcast's backward materializes full-volume f32
+    # pad/reshape intermediates (~50 ms/step measured at Heart level 0)
+    ct = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    a = (x.astype(ct) * mult.astype(ct)[:, None, :, None]
+         + off.astype(ct)[:, None, :, None])
+    a = jnp.maximum(a, a * jnp.asarray(LRELU_SLOPE, ct)).astype(x.dtype)
     a = a.reshape(N, D, C, H, Wp)[..., :W]
     a = a.reshape(N, D // wd, wd, C, H // wh, wh, W // ww, ww)
     a = jnp.max(a, axis=(2, 5, 7))                  # (N, D2, C, H2, W2)
@@ -1065,9 +1070,10 @@ def apply_norm_lrelu_cf(x: jnp.ndarray, mult: jnp.ndarray, off: jnp.ndarray,
                         colmask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Materialize a pending normalization (for non-fused consumers):
     lrelu(x * mult + off), x (N, D, C, HWp); mult/off (N, C)."""
-    a = (x.astype(jnp.float32) * mult[:, None, :, None]
-         + off[:, None, :, None])
-    a = jnp.maximum(a, a * LRELU_SLOPE)
+    ct = jnp.float32 if x.dtype == jnp.float32 else x.dtype  # bf16 fast path
+    a = (x.astype(ct) * mult.astype(ct)[:, None, :, None]
+         + off.astype(ct)[:, None, :, None])
+    a = jnp.maximum(a, a * jnp.asarray(LRELU_SLOPE, ct))
     if colmask is not None:
-        a = a * colmask
+        a = a * colmask.astype(ct)
     return a.astype(x.dtype)

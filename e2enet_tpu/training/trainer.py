@@ -128,16 +128,16 @@ class TPUTrainer:
         if self.cascade:
             # prev-stage seg arrives as one-hot fg-class channels
             num_in += self.num_classes - 1
-        # fused Pallas blocks by default on TPU (787 ms/step vs 1274 XLA,
-        # node remat fits HBM at Heart geometry — PERF_NOTES.md); the
-        # quadrant layout stays off for TRAINING until its backward wins
-        # (measured 810 vs 787 ms/step, round-4 table)
+        # fused Pallas blocks by default on TPU (684 ms/step vs 1274 XLA,
+        # node remat fits HBM at Heart geometry — PERF_NOTES.md). Quadrant
+        # is ON for training since the round-5 measurements: with level-1
+        # fusion + the prefetched qfused backward it wins (684 vs 709
+        # ms/step plain; round-4's 810-vs-787 loss predates both)
         self.network = build_network(
             self.stage_plan, num_in, self.num_classes,
             tconv=self.tconv, base_num_features=self.base_num_features,
             compute_dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
-            norm_op=self.norm_op, nonlin=self.nonlin, fused=self.fused,
-            quadrant=False)
+            norm_op=self.norm_op, nonlin=self.nonlin, fused=self.fused)
         self.num_pool = len(self.stage_plan.pool_op_kernel_sizes)
         n_out = self.network.num_ds_outputs()
         self.ds_weights = ds_loss_weights(self.num_pool, n_out)

@@ -30,11 +30,13 @@ def main():
     patch = (80, 192, 160)
     pools = ((2, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2), (1, 2, 2))
     n_classes, B = 3, 2
+    max_level = 1 if "--max_level1" in sys.argv else 0
+    quadrant = "--quadrant" in sys.argv
     model = ShiftUNetPlusPlus(
         input_channels=1, num_classes=n_classes,
         pool_op_kernel_sizes=pools, base_num_features=48,
-        compute_dtype=jnp.bfloat16, fused=fused, fused_max_level=0,
-        remat=True)
+        compute_dtype=jnp.bfloat16, fused=fused, fused_max_level=max_level,
+        quadrant=quadrant, remat=True)
     x = jnp.zeros((B, *patch, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
     state = create_train_state(params)
