@@ -181,6 +181,55 @@ def test_backward_matches_xla_reference(q):
                                    rtol=2e-4, atol=2e-4, err_msg=nm)
 
 
+@pytest.mark.parametrize("q", [(2, 2, 2), (1, 2, 2)])
+def test_backward_chunked_matches_xla_reference(q, monkeypatch):
+    """Gradient parity with the backward FORCED onto the per-part chunked
+    path (_qfused_bwd splits when the unified kernel exceeds the VMEM
+    budget — the production case for 2-part level-0 nest nodes)."""
+    from e2enet_tpu.ops import qfused as QF
+    N, D, H, W, CO = 2, 4, 8, 6, 4
+    Ca, Cb = 5, 3
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    xa = _mk(ks[0], (N, D, H, W, Ca))
+    xb = _mk(ks[1], (N, D, H, W, Cb))
+    wk = _mk(ks[2], (3, 3, Ca + Cb, CO), 0.3)
+    b = _mk(ks[3], (CO,), 0.1)
+    mult = _mk(ks[4], (N, Ca), 0.5) + 1.0
+    off = _mk(ks[5], (N, Ca), 0.2)
+
+    Hq, Wq = H // q[1], W // q[2]
+    Wqp = choose_wqp(Hq, Wq)
+    pa = to_quadrant_cf(xa, q, Wqp)
+    pb = to_quadrant_cf(xb, q, Wqp)
+    Q = q[0] * q[1] * q[2]
+    r1 = _mk(ks[6], (N, D // q[0], Q * CO, Hq * Wqp))
+    r2 = _mk(ks[7], (N, Q * CO, 2), 0.01)
+
+    # budget above the single-part footprint but below the unified one ->
+    # the bwd must run as two chunks
+    uni = QF._bwd_vmem_bytes(q, (Ca, Cb), Hq, Wq, CO)
+    solo = max(QF._bwd_vmem_bytes(q, (c,), Hq, Wq, CO) for c in (Ca, Cb))
+    assert solo < uni
+    monkeypatch.setattr(QF, "_VMEM_BUDGET", (solo + uni) // 2)
+    assert QF._bwd_chunks(q, (Ca, Cb), Hq, Wq, CO) == [(0, 1), (1, 2)]
+
+    def loss(use_pallas, pa, pb, wk, b, mult, off):
+        y, stats = quadrant_fused_block(
+            [pa, pb], wk, b, [(mult, off), None], q, Hq, Wq,
+            use_pallas=use_pallas, interpret=True)
+        return jnp.sum(y.astype(jnp.float32) * r1) + jnp.sum(stats * r2)
+
+    args = (pa, pb, wk, b, mult, off)
+    g_ref = jax.grad(lambda *a: loss(False, *a), argnums=tuple(range(6)))(
+        *args)
+    g_pal = jax.grad(lambda *a: loss(True, *a), argnums=tuple(range(6)))(
+        *args)
+    names = ["pa", "pb", "wk", "b", "mult", "off"]
+    for nm, gr, gp in zip(names, g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4, err_msg=nm)
+
+
 def test_transp_conv_quadrant_matches_matmul():
     from e2enet_tpu.ops.blocks import transp_conv_matmul
     q = (2, 2, 2)
