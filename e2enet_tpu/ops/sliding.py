@@ -249,8 +249,12 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
                 pf = apply_flips(patch, f)
                 lq = apply_fn(params, pf[None])
                 # softmax commutes with the spatial unflips (pointwise
-                # over the class channels) — run it first, bitwise equal
-                p = quadrant_softmax_f32(lq, q0, num_classes)
+                # over the class channels) — run it first. bf16 probs
+                # halve the unflip chain's HBM traffic (the ~138MB prob
+                # tensor is reversed + selected per pass); the mean over
+                # mirror passes still accumulates in f32 below.
+                p = quadrant_softmax_f32(lq, q0, num_classes,
+                                         out_dtype=jnp.bfloat16)
                 p = jnp.where(f[0], quadrant_flip_d_cf(p, q0), p)
                 p = jnp.where(f[1],
                               quadrant_flip_hw_cf(p, q0, Hq_, Wq_), p)
@@ -259,7 +263,8 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
                 idx = jnp.logical_xor(f[1], f[2]).astype(jnp.int32)
                 cur = jax.lax.dynamic_slice_in_dim(acc2, idx, 1, axis=0)
                 return jax.lax.dynamic_update_slice_in_dim(
-                    acc2, cur + p[None], idx, axis=0), None
+                    acc2, cur + p[None].astype(jnp.float32), idx,
+                    axis=0), None
 
             acc2 = jnp.zeros((2, *out_aval.shape), jnp.float32)
             acc2, _ = jax.lax.scan(tta_pass, acc2, flags_chunks)

@@ -102,6 +102,24 @@ def main():
         log(f"  {ms:8.3f} ms  {name[:110]}")
     log(f"(top-90 leaves sum {shown:.1f} ms)")
 
+    # attribution: first 'long_name' seen per op so anonymous fusions can
+    # be tied to their HLO shapes/operands
+    meta = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X":
+            continue
+        name = ev.get("name", "?")
+        if name in meta:
+            continue
+        args = ev.get("args", {}) or {}
+        longn = (args.get("long_name") or args.get("tf_op")
+                 or args.get("hlo_op") or "")
+        if longn:
+            meta[name] = str(longn)[:220]
+    log("--- attribution (top 40 by time)")
+    for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[:40]:
+        log(f"  {ms:8.3f} ms  {name[:44]}  {meta.get(name, '')}")
+
 
 if __name__ == "__main__":
     main()
