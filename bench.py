@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--fused_max_level", type=int, default=None,
                     help="deepest level run through the fused Pallas "
                          "blocks (default: model default)")
+    ap.add_argument("--accum", choices=["f32", "f16", "bf16"],
+                    default="f16",
+                    help="sliding-window accumulator dtype. Default f16 = "
+                         "the reference's all_in_gpu fast mode "
+                         "(neural_network.py:337-363 keeps fp16 "
+                         "accumulators on device); --accum f32 is the "
+                         "exact mode (measured ~2% apart)")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -80,6 +87,10 @@ def main():
     predictor = make_tiled_predictor(apply_fn, patch, num_classes,
                                      mirror_axes=(0, 1, 2),
                                      do_mirroring=True,
+                                     accum_dtype={"f32": jnp.float32,
+                                                  "f16": jnp.float16,
+                                                  "bf16": jnp.bfloat16}[
+                                                      args.accum],
                                      tta_batch=args.tta_batch,
                                      quadrant_meta=qmeta)
 

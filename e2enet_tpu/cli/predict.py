@@ -39,6 +39,10 @@ def main(args=None):
     parser.add_argument("--num_parts", type=int, default=1)
     parser.add_argument("--overwrite_existing", type=int, default=1)
     parser.add_argument("--disable_postprocessing", action="store_true")
+    parser.add_argument("--all_in_gpu", type=str, default="False",
+                        help="None/False/True (reference flag): True keeps "
+                             "f16 sliding-window accumulators on device "
+                             "(the reference's fp16 fast mode)")
     parser.add_argument("--mode", default="normal",
                         choices=["normal", "fast", "fastest"])
     parser.add_argument("--num_devices", type=int, default=1,
@@ -60,6 +64,8 @@ def main(args=None):
                         a.trainer_class_name + "__" + a.plans_identifier)
     print("using model stored in", model_folder)
 
+    assert a.all_in_gpu in ("None", "False", "True")
+    all_in_gpu = a.all_in_gpu == "True"
     segs_prev = None
     if a.model == "3d_cascade_fullres":
         # auto-run the lowres stage first (simple_predict.py:194-211)
@@ -74,7 +80,7 @@ def main(args=None):
             part_id=a.part_id, num_parts=a.num_parts,
             overwrite_existing=bool(a.overwrite_existing),
             disable_postprocessing=True, mode="fast",
-            num_devices=a.num_devices)
+            all_in_gpu=all_in_gpu, num_devices=a.num_devices)
         segs_prev = lowres_folder
 
     predict_from_folder(
@@ -84,7 +90,8 @@ def main(args=None):
         part_id=a.part_id, num_parts=a.num_parts,
         overwrite_existing=bool(a.overwrite_existing),
         disable_postprocessing=a.disable_postprocessing, mode=a.mode,
-        segs_from_prev_stage_folder=segs_prev, num_devices=a.num_devices)
+        segs_from_prev_stage_folder=segs_prev, all_in_gpu=all_in_gpu,
+        num_devices=a.num_devices)
 
 
 if __name__ == "__main__":

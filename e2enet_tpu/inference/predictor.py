@@ -150,16 +150,22 @@ def _make_mesh(num_devices: int):
 def predict_case(bundle: ModelBundle, data: np.ndarray,
                  do_tta: bool = True, step_size: float = 0.5,
                  predictor_cache: Optional[dict] = None,
-                 num_devices: int = 1) -> np.ndarray:
+                 num_devices: int = 1,
+                 all_in_gpu: bool = False) -> np.ndarray:
     """Fold-ensemble softmax for preprocessed data (C, X, Y, Z).
 
     num_devices > 1 shards the TILE list of every volume over a device mesh
     (ops/sliding.make_tiled_predictor_sharded) — the TPU answer to the
     reference's per-process case sharding (predict.py:745): every chip works
-    on the same case, so single-case latency drops too."""
+    on the same case, so single-case latency drops too.
+
+    all_in_gpu mirrors the reference's fast mode (neural_network.py:337-363:
+    fp16 accumulators kept on device): f16 sliding-window accumulators,
+    ~2%% faster; default keeps exact f32 accumulation."""
     apply_fn = lambda params, x: bundle.network.apply(
         {"params": params}, x, do_ds=False)
-    key = (bundle.patch_size, do_tta, num_devices)
+    accum = jnp.float16 if all_in_gpu else jnp.float32
+    key = (bundle.patch_size, do_tta, num_devices, all_in_gpu)
     if predictor_cache is not None and key in predictor_cache:
         predictor = predictor_cache[key]
     else:
@@ -168,12 +174,13 @@ def predict_case(bundle: ModelBundle, data: np.ndarray,
             predictor = make_tiled_predictor_sharded(
                 apply_fn, bundle.patch_size, bundle.num_classes,
                 _make_mesh(num_devices), mirror_axes=(0, 1, 2),
-                do_mirroring=do_tta, quadrant_meta=qmeta)
+                do_mirroring=do_tta, accum_dtype=accum,
+                quadrant_meta=qmeta)
         else:
             predictor = make_tiled_predictor(
                 apply_fn, bundle.patch_size, bundle.num_classes,
                 mirror_axes=(0, 1, 2), do_mirroring=do_tta,
-                quadrant_meta=qmeta)
+                accum_dtype=accum, quadrant_meta=qmeta)
         if predictor_cache is not None:
             predictor_cache[key] = predictor
     softmax_sum = None
@@ -197,6 +204,7 @@ def predict_from_folder(model_folder: str, input_folder: str,
                         mode: str = "normal",
                         segs_from_prev_stage_folder: Optional[str] = None,
                         num_devices: int = 1,
+                        all_in_gpu: bool = False,
                         compute_dtype=jnp.bfloat16):
     """mode (reference predict_cases/_fast/_fastest, predict.py:194,362,514):
       normal : resample the full softmax back to original geometry (order 1)
@@ -272,6 +280,7 @@ def predict_from_folder(model_folder: str, input_folder: str,
         data, props, ofile = item
         print("predicting", os.path.basename(ofile))
         softmax = predict_case(bundle, data, do_tta=do_tta,
+                               all_in_gpu=all_in_gpu,
                                step_size=step_size,
                                predictor_cache=predictor_cache,
                                num_devices=num_devices)

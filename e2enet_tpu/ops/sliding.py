@@ -286,9 +286,10 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
             prob_sum, _ = jax.lax.scan(tta_chunk, prob_sum, flags_chunks)
         mean_probs = prob_sum / n_tta
 
-        valid = (tid < n_valid).astype(accum_dtype)
+        valid = (tid < n_valid).astype(jnp.float32)
         w = gmap * valid
         contrib = (mean_probs * w[..., None]).astype(accum_dtype)
+        w = w.astype(accum_dtype)
         sl = jax.lax.dynamic_slice(acc, (x0, y0, z0, 0),
                                    (pd, ph, pw, num_classes))
         acc = jax.lax.dynamic_update_slice(acc, sl + contrib,

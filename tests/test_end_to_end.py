@@ -157,6 +157,19 @@ def test_full_pipeline(synth_env):
         b = read_nifti(str(out_dir_mc / f)).array
         assert (a == b).mean() > 0.999, f"multi-chip predict diverged on {f}"
 
+    # ---- 3c. all_in_gpu (f16 accumulators, the reference's fast mode):
+    # must run and broadly agree — near-tie voxels of this 2-epoch model
+    # may legitimately flip under f16 rounding
+    out_dir_f16 = synth_env["base"] / "predictions_f16"
+    predict.main(["-i", str(synth_env["task_dir"] / "imagesTs"),
+                  "-o", str(out_dir_f16), "-t", "99", "-f", "0",
+                  "--Tconv", "shiftConvPP", "--step_size", "0.7",
+                  "--disable_postprocessing", "--all_in_gpu", "True"])
+    for f in preds:
+        a = read_nifti(str(out_dir / f)).array
+        b = read_nifti(str(out_dir_f16 / f)).array
+        assert (a == b).mean() > 0.9, f"all_in_gpu diverged on {f}"
+
     # ---- 4. evaluate
     evaluate.main(["-ref", str(synth_env["task_dir"] / "labelsTs"),
                    "-pred", str(out_dir), "-l", "1", "2"])
