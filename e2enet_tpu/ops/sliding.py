@@ -249,12 +249,17 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
                 pf = apply_flips(patch, f)
                 lq = apply_fn(params, pf[None])
                 # softmax commutes with the spatial unflips (pointwise
-                # over the class channels) — run it first. bf16 probs
-                # halve the unflip chain's HBM traffic (the ~138MB prob
-                # tensor is reversed + selected per pass); the mean over
-                # mirror passes still accumulates in f32 below.
+                # over the class channels) — run it first. For bf16 models
+                # the probs stay bf16 through the unflips, halving the
+                # chain's HBM traffic (the ~138MB prob tensor is reversed +
+                # selected per pass); the mean over mirror passes still
+                # accumulates in f32 below. f32 models (the golden parity
+                # path) keep f32 probs.
                 p = quadrant_softmax_f32(lq, q0, num_classes,
-                                         out_dtype=jnp.bfloat16)
+                                         out_dtype=(jnp.bfloat16
+                                                    if out_aval.dtype
+                                                    == jnp.bfloat16
+                                                    else jnp.float32))
                 p = jnp.where(f[0], quadrant_flip_d_cf(p, q0), p)
                 p = jnp.where(f[1],
                               quadrant_flip_hw_cf(p, q0, Hq_, Wq_), p)
