@@ -76,9 +76,12 @@ def main():
                               "-tf", "1", "-tl", "1"])
 
     print("== train (bf16, fused+quadrant production defaults)", flush=True)
+    epochs = os.environ.get("PIPE_EPOCHS", "3")
+    batches = os.environ.get("PIPE_BATCHES", "4")
+    feats = os.environ.get("PIPE_FEATURES", "16")
     train.main(["--task", "99", "--fold", "0", "--Tconv", "shiftConvPP",
-                "--epochs", "3", "--batches", "4", "--val_batches", "1",
-                "--base_features", "16",
+                "--epochs", epochs, "--batches", batches,
+                "--val_batches", "2", "--base_features", feats,
                 "--sparse", "true", "--density", "0.3",
                 "--update_frequency", "4"])
 
