@@ -63,8 +63,15 @@ def main():
         # before remote execution finishes
         def chain(params, data, targets, iters=3):
             def body(c, _):
-                l, _g = jax.value_and_grad(fn)(params, c, targets)
-                return data + (l * 0).astype(data.dtype), l
+                l, g = jax.value_and_grad(fn)(params, c, targets)
+                # CONSUME the grads — an unused grad tree is DCE'd and the
+                # whole backward vanishes from the program (measured: 124
+                # ms "fwd+bwd" that was really fwd-only vs 455 real)
+                gsum = sum(jnp.sum(x.astype(jnp.float32)) * 1e-20
+                           for x in jax.tree_util.tree_leaves(g))
+                # the epsilon terms are value-neutral but NOT foldable —
+                # keep the scan iterations chained
+                return c + (l * 1e-20 + gsum).astype(c.dtype), l
             c, ls = jax.lax.scan(body, data, None, length=iters)
             return ls[-1]
 
