@@ -519,7 +519,8 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
                   tconv: str = "shiftConvPP", base_num_features: int = 48,
                   compute_dtype=jnp.bfloat16, norm_op: str = "instance",
                   nonlin: str = "lrelu", fused=None,
-                  quadrant=None, quadrant_logits: bool = False):
+                  quadrant=None, quadrant_logits: bool = False,
+                  remat=None):
     """Network factory by Tconv name.
     Parity: nnUNetTrainer_simple.initialize_network (:281-357).
     2D plans (patch D == 1) disable the depth shift — the reference never
@@ -531,6 +532,8 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
     if fused is None:
         fused = default_fused()
     arch = dict(norm_op=norm_op, nonlin=nonlin)
+    if remat is not None:
+        arch["remat"] = bool(remat)
     # quadrant knobs exist only on ShiftUNetPlusPlus (the quadrant path)
     qlog = dict(quadrant_logits=True) if quadrant_logits else {}
     if quadrant is not None:

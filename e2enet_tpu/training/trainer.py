@@ -61,7 +61,8 @@ class TPUTrainer:
                  spatial_parallel: int = 1,
                  device_augment: bool = False,
                  norm_op: str = "instance", nonlin: str = "lrelu",
-                 fused: Optional[bool] = None):
+                 fused: Optional[bool] = None,
+                 remat: Optional[bool] = None):
         self.plans = plans
         self.fold = fold
         self.stage = stage
@@ -77,6 +78,7 @@ class TPUTrainer:
         self.num_da_threads = num_da_threads
         self.base_num_features = base_num_features
         self.cascade = cascade
+        self.remat = remat
         self.norm_op = norm_op
         self.nonlin = nonlin
 
@@ -133,11 +135,24 @@ class TPUTrainer:
         # is ON for training since the round-5 measurements: with level-1
         # fusion + the prefetched qfused backward it wins (684 vs 709
         # ms/step plain; round-4's 810-vs-787 loss predates both)
+        # remat auto: OFF for the bf16 fused+quadrant production path —
+        # the chunked quadrant backward + fused L0-1 shrink the saved set
+        # enough that no-remat fits 16G HBM at Heart-scale geometry and is
+        # ~10% faster (455 -> 410 ms/step, PERF_NOTES round-5); any other
+        # configuration keeps the safe default (remat on)
+        remat = self.remat
+        if remat is None:
+            import jax
+            on_tpu = jax.devices()[0].platform != "cpu"
+            production = (self.fp16 and on_tpu
+                          and (self.fused is None or self.fused))
+            remat = not production
         self.network = build_network(
             self.stage_plan, num_in, self.num_classes,
             tconv=self.tconv, base_num_features=self.base_num_features,
             compute_dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
-            norm_op=self.norm_op, nonlin=self.nonlin, fused=self.fused)
+            norm_op=self.norm_op, nonlin=self.nonlin, fused=self.fused,
+            remat=remat)
         self.num_pool = len(self.stage_plan.pool_op_kernel_sizes)
         n_out = self.network.num_ds_outputs()
         self.ds_weights = ds_loss_weights(self.num_pool, n_out)
