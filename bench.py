@@ -92,7 +92,10 @@ def main():
                                                   "bf16": jnp.bfloat16}[
                                                       args.accum],
                                      tta_batch=args.tta_batch,
-                                     quadrant_meta=qmeta)
+                                     quadrant_meta=qmeta,
+                                     prob_dtype=(jnp.bfloat16
+                                                 if args.accum != "f32"
+                                                 else None))
 
     steps = compute_steps_for_sliding_window(patch, vol_shape, 0.5)
     starts = np.array([(a, b, c) for a in steps[0] for b in steps[1]

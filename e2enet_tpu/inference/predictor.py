@@ -165,6 +165,11 @@ def predict_case(bundle: ModelBundle, data: np.ndarray,
     apply_fn = lambda params, x: bundle.network.apply(
         {"params": params}, x, do_ds=False)
     accum = jnp.float16 if all_in_gpu else jnp.float32
+    # fast mode also keeps the per-pass TTA probs bf16 (for bf16 models);
+    # the logits heads emit f32 regardless, so this is an explicit knob
+    prob_dtype = (jnp.bfloat16 if all_in_gpu
+                  and bundle.network.compute_dtype == jnp.bfloat16
+                  else None)
     key = (bundle.patch_size, do_tta, num_devices, all_in_gpu)
     if predictor_cache is not None and key in predictor_cache:
         predictor = predictor_cache[key]
@@ -175,12 +180,13 @@ def predict_case(bundle: ModelBundle, data: np.ndarray,
                 apply_fn, bundle.patch_size, bundle.num_classes,
                 _make_mesh(num_devices), mirror_axes=(0, 1, 2),
                 do_mirroring=do_tta, accum_dtype=accum,
-                quadrant_meta=qmeta)
+                quadrant_meta=qmeta, prob_dtype=prob_dtype)
         else:
             predictor = make_tiled_predictor(
                 apply_fn, bundle.patch_size, bundle.num_classes,
                 mirror_axes=(0, 1, 2), do_mirroring=do_tta,
-                accum_dtype=accum, quadrant_meta=qmeta)
+                accum_dtype=accum, quadrant_meta=qmeta,
+                prob_dtype=prob_dtype)
         if predictor_cache is not None:
             predictor_cache[key] = predictor
     softmax_sum = None

@@ -111,7 +111,8 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
                          do_mirroring: bool = True,
                          accum_dtype=jnp.float32,
                          tta_batch: int = 1,
-                         quadrant_meta=None):
+                         quadrant_meta=None,
+                         prob_dtype=None):
     """Builds the jitted single-program sliding-window predictor.
 
     apply_fn(params, x) -> logits for x (B, pd, ph, pw, C_in), logits
@@ -119,6 +120,13 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
 
     tta_batch: how many mirror flips run per forward as a batch dimension
     (more = more MXU parallelism, x activation memory; 1 = sequential).
+
+    prob_dtype: dtype the per-pass softmax probs are stored/unflipped in
+    (the mirror-pass mean always accumulates in f32). None = exact f32.
+    Pass jnp.bfloat16 for bf16 models: the logits heads emit f32 (parity:
+    unetpp_d.py:394-401), so this cannot be inferred from the logits —
+    bf16 halves the TTA unflip chain's HBM traffic (~138MB prob tensor
+    reversed + selected per mirror pass) at bf16-model noise level.
 
     Returned fn(params, volume, starts, n_valid) with
       volume: (X, Y, Z, C_in) padded so X,Y,Z >= patch
@@ -132,7 +140,7 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
         return _tiled_accumulate(
             apply_fn, patch_size, num_classes, mirror_axes, do_mirroring,
             accum_dtype, tta_batch, params, volume, starts, n_valid,
-            tile_ids, quadrant_meta=quadrant_meta)
+            tile_ids, quadrant_meta=quadrant_meta, prob_dtype=prob_dtype)
 
     return run
 
@@ -145,7 +153,8 @@ def make_tiled_predictor_sharded(apply_fn: Callable,
                                  do_mirroring: bool = True,
                                  accum_dtype=jnp.float32,
                                  tta_batch: int = 1,
-                                 quadrant_meta=None):
+                                 quadrant_meta=None,
+                                 prob_dtype=None):
     """Multi-chip sliding window: the tile list is sharded over the mesh
     axis; every device scans its tiles into a local accumulator over the
     (replicated) volume and the accumulators are psum'd — the whole
@@ -164,7 +173,7 @@ def make_tiled_predictor_sharded(apply_fn: Callable,
         acc, wacc = _tiled_accumulate(
             apply_fn, patch_size, num_classes, mirror_axes, do_mirroring,
             accum_dtype, tta_batch, params, volume, starts, n_valid,
-            tile_ids, quadrant_meta=quadrant_meta)
+            tile_ids, quadrant_meta=quadrant_meta, prob_dtype=prob_dtype)
         acc = jax.lax.psum(acc, axis)
         wacc = jax.lax.psum(wacc, axis)
         return acc, wacc
@@ -190,7 +199,8 @@ def make_tiled_predictor_sharded(apply_fn: Callable,
 
 def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
                       do_mirroring, accum_dtype, tta_batch, params, volume,
-                      starts, n_valid, tile_ids, quadrant_meta=None):
+                      starts, n_valid, tile_ids, quadrant_meta=None,
+                      prob_dtype=None):
     """Scan a (sub)list of tiles into local accumulators. tile_ids carries
     each tile's GLOBAL index so validity (id < n_valid) is preserved under
     sharding."""
@@ -249,17 +259,17 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
                 pf = apply_flips(patch, f)
                 lq = apply_fn(params, pf[None])
                 # softmax commutes with the spatial unflips (pointwise
-                # over the class channels) — run it first. For bf16 models
-                # the probs stay bf16 through the unflips, halving the
-                # chain's HBM traffic (the ~138MB prob tensor is reversed +
-                # selected per pass); the mean over mirror passes still
-                # accumulates in f32 below. f32 models (the golden parity
-                # path) keep f32 probs.
+                # over the class channels) — run it first. With
+                # prob_dtype=bf16 the probs stay bf16 through the unflips,
+                # halving the chain's HBM traffic (the ~138MB prob tensor
+                # is reversed + selected per pass); the mean over mirror
+                # passes still accumulates in f32 below. Default (None)
+                # keeps exact f32 probs — the logits heads always emit f32
+                # (reference parity), so this must be an explicit caller
+                # knob, not keyed off the logits dtype.
                 p = quadrant_softmax_f32(lq, q0, num_classes,
-                                         out_dtype=(jnp.bfloat16
-                                                    if out_aval.dtype
-                                                    == jnp.bfloat16
-                                                    else jnp.float32))
+                                         out_dtype=(prob_dtype
+                                                    or jnp.float32))
                 p = jnp.where(f[0], quadrant_flip_d_cf(p, q0), p)
                 p = jnp.where(f[1],
                               quadrant_flip_hw_cf(p, q0, Hq_, Wq_), p)

@@ -45,10 +45,15 @@ def main():
     apply_fn = lambda p, x: model.apply(p, x, do_ds=False)
     qmeta = (((2, 2, 2), patch[1] // 2, patch[2] // 2)
              if quadrant else None)
+    accum = jnp.float16 if "--accum_f16" in sys.argv else jnp.float32
     predictor = make_tiled_predictor(apply_fn, patch, num_classes,
                                      mirror_axes=(0, 1, 2),
                                      do_mirroring=True,
-                                     quadrant_meta=qmeta)
+                                     quadrant_meta=qmeta,
+                                     accum_dtype=accum,
+                                     prob_dtype=(jnp.bfloat16
+                                                 if accum == jnp.float16
+                                                 else None))
     vol = np.random.RandomState(0).randn(1, *vol_shape).astype(np.float32)
 
     def run():

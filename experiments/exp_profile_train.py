@@ -36,7 +36,7 @@ def main():
         input_channels=1, num_classes=n_classes,
         pool_op_kernel_sizes=pools, base_num_features=48,
         compute_dtype=jnp.bfloat16, fused=fused, fused_max_level=max_level,
-        quadrant=quadrant, remat=True)
+        quadrant=quadrant, remat="--no_remat" not in sys.argv)
     x = jnp.zeros((B, *patch, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
     state = create_train_state(params)
