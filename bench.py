@@ -73,6 +73,7 @@ def main():
         fused=on_tpu and not args.no_fused,
         quadrant=not args.no_quadrant,
         quadrant_logits=not args.no_quadrant,
+        quadrant_input=patch if not args.no_quadrant else None,
         **({"fused_max_level": args.fused_max_level}
            if args.fused_max_level is not None else {}))
     x0 = jnp.zeros((1, *patch, num_mod), jnp.bfloat16)

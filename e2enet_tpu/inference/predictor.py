@@ -93,12 +93,13 @@ class ModelBundle:
         num_in = self.plans.num_modalities
         if sidecar["init"].get("cascade", False):
             num_in += self.num_classes - 1
+        self.patch_size = tuple(int(i) for i in self.stage_plan.patch_size)
         self.network = build_network(
             self.stage_plan, num_in, self.num_classes,
             tconv=tconv,
             base_num_features=sidecar["init"].get("base_num_features", 48),
-            compute_dtype=compute_dtype, quadrant_logits=True)
-        self.patch_size = tuple(int(i) for i in self.stage_plan.patch_size)
+            compute_dtype=compute_dtype, quadrant_logits=True,
+            quadrant_input=self.patch_size)
 
     def quadrant_meta(self):
         """(q0, Hq, Wq) for ops/sliding's quadrant-logits path; harmless

@@ -20,7 +20,7 @@ unetpp_d.py:447-488). Reference index mapping: x(i, j) = loc{P-i-j}[j-1].
 Deep-supervision heads sit on x(0,P), x(1,P-1), x(2,P-2), x(3,P-3)
 (unetpp_d.py:394-401,480-483).
 """
-from typing import Any, Dict, List, NamedTuple, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -102,6 +102,13 @@ class ShiftUNetPlusPlus(nn.Module):
     # the TTA unflip + softmax in quadrant space and de-quadrantize once
     # per tile. Rank tells them apart (4 vs 5).
     quadrant_logits: bool = False
+    # full-res (D, H, W) the model may ALSO be fed pre-quadrantized: a
+    # rank-4 (N, Dq, Q*Cin, Hq*Wqp) input (Wqp = choose_wqp) skips the
+    # internal to_quadrant_cf — the sliding-window TTA quadrantizes once
+    # per tile and mirrors the input in quadrant space instead of paying
+    # the quadrantize relayout on every mirror pass (ops/sliding).
+    # Rank-5 inputs still work (training, init). None = rank-5 only.
+    quadrant_input: Optional[Tuple[int, int, int]] = None
 
     @property
     def num_pool(self) -> int:
@@ -125,7 +132,13 @@ class ShiftUNetPlusPlus(nn.Module):
 
     @nn.compact
     def __call__(self, x, do_ds: bool = True):
-        self._check_divisible(x)
+        pre_q = x.ndim == 4
+        if pre_q:
+            assert self.quadrant_input is not None, (
+                "rank-4 (pre-quadrantized) input requires quadrant_input="
+                "(D, H, W)")
+        else:
+            self._check_divisible(x)
         P = self.num_pool
         pools = [tuple(p) for p in self.pool_op_kernel_sizes]
         enc = encoder_channels(self.base_num_features, P,
@@ -154,8 +167,9 @@ class ShiftUNetPlusPlus(nn.Module):
                                   quadrant_norm_affine, quadrant_supported,
                                   to_quadrant_cf)
 
-        level_size: List[Tuple[int, int, int]] = [tuple(
-            int(s) for s in x.shape[1:4])]
+        level_size: List[Tuple[int, int, int]] = [
+            tuple(int(s) for s in self.quadrant_input) if pre_q
+            else tuple(int(s) for s in x.shape[1:4])]
         for p in pools:
             level_size.append(tuple(int(s) // int(k)
                                     for s, k in zip(level_size[-1], p)))
@@ -201,6 +215,10 @@ class ShiftUNetPlusPlus(nn.Module):
                 wqp0 = choose_wqp(Hq0, Wq0)
             except AssertionError:
                 use_quad = False
+        if pre_q:
+            assert use_quad and quadrant_supported(
+                q0, (self.input_channels,), Hq0, Wq0, enc[0]), (
+                "pre-quadrantized input requires the level-0 quadrant path")
 
         def quad_ok(part_channels, co):
             return (use_quad
@@ -258,7 +276,11 @@ class ShiftUNetPlusPlus(nn.Module):
             stride = pools[d - 1] if d > 0 else (1, 1, 1)
             cin = (self.input_channels if d == 0 else enc[d - 1])
             if d == 0 and quad_ok((cin,), enc[0]):
-                xq = to_quadrant_cf(x, q0, wqp0)
+                if pre_q:
+                    assert int(x.shape[3]) == Hq0 * wqp0, (
+                        f"pre-quadrantized input lanes {x.shape[3]} != "
+                        f"Hq*Wqp {Hq0}*{wqp0}")
+                xq = x if pre_q else to_quadrant_cf(x, q0, wqp0)
                 out = StackedConvBlocks(
                     features=enc[0], num_convs=self.num_conv_per_stage,
                     fused=True, fused_hw=(Hq0, Wq0), fused_q=q0,
@@ -520,7 +542,7 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
                   compute_dtype=jnp.bfloat16, norm_op: str = "instance",
                   nonlin: str = "lrelu", fused=None,
                   quadrant=None, quadrant_logits: bool = False,
-                  remat=None):
+                  remat=None, quadrant_input=None):
     """Network factory by Tconv name.
     Parity: nnUNetTrainer_simple.initialize_network (:281-357).
     2D plans (patch D == 1) disable the depth shift — the reference never
@@ -538,6 +560,8 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
     qlog = dict(quadrant_logits=True) if quadrant_logits else {}
     if quadrant is not None:
         qlog["quadrant"] = bool(quadrant)
+    if quadrant_input is not None:
+        qlog["quadrant_input"] = tuple(int(s) for s in quadrant_input)
     pools = tuple(tuple(p) for p in plans_stage.pool_op_kernel_sizes)
     if int(plans_stage.patch_size[0]) == 1:
         if tconv in ("shiftConvPP",):

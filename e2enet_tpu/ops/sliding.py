@@ -242,9 +242,22 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
             "apply_fn emits quadrant logits; pass quadrant_meta=(q, Hq, Wq)"
         assert tta_batch == 1, "quadrant logits require tta_batch=1"
         q0, Hq_, Wq_ = quadrant_meta
-        from .qfused import (from_quadrant_cf, quadrant_flip_d_cf,
-                             quadrant_flip_hw_cf, quadrant_flip_w_cf,
-                             quadrant_softmax_f32)
+        from .qfused import (choose_wqp, from_quadrant_cf, quadrant_flip,
+                             quadrant_flip_d_cf, quadrant_flip_hw_cf,
+                             quadrant_flip_w_cf, quadrant_softmax_f32,
+                             to_quadrant_cf)
+        # models built with quadrant_input=(D,H,W) also ACCEPT rank-4
+        # pre-quadrantized input: then quadrantize once per tile and mirror
+        # the input in quadrant space — the quadrantize relayout leaves the
+        # per-mirror-pass loop (8x fewer relayouts per tile)
+        wqp0 = choose_wqp(Hq_, Wq_)
+        Q0 = int(np.prod(q0))
+        try:
+            jax.eval_shape(apply_fn, params, jax.ShapeDtypeStruct(
+                (1, pd // q0[0], Q0 * C, Hq_ * wqp0), volume.dtype))
+            quad_in = True
+        except Exception:  # noqa: BLE001 — model is rank-5-only
+            quad_in = False
 
     def body(carry, inp):
         acc, wacc = carry
@@ -254,10 +267,24 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
                                       (pd, ph, pw, C))
 
         if quad_out:
+            xq0 = (to_quadrant_cf(patch[None], q0, wqp0) if quad_in
+                   else None)
+
             def tta_pass(acc2, flags):
                 f = flags[0]
-                pf = apply_flips(patch, f)
-                lq = apply_fn(params, pf[None])
+                if quad_in:
+                    # input mirror flips in quadrant space: the tile is
+                    # quadrantized ONCE above; per pass only cheap exact
+                    # flips (axis revs + block swaps; w keeps the zero
+                    # padding lanes) run on the small Q*Cin-channel tensor
+                    pf = xq0
+                    for ax in range(3):
+                        pf = jnp.where(f[ax],
+                                       quadrant_flip(pf, q0, Hq_, Wq_,
+                                                     (ax,)), pf)
+                    lq = apply_fn(params, pf)
+                else:
+                    lq = apply_fn(params, apply_flips(patch, f)[None])
                 # softmax commutes with the spatial unflips (pointwise
                 # over the class channels) — run it first. With
                 # prob_dtype=bf16 the probs stay bf16 through the unflips,

@@ -39,7 +39,8 @@ def main():
         input_channels=1, num_classes=num_classes,
         pool_op_kernel_sizes=((2, 2, 2),) * 5,
         base_num_features=48, compute_dtype=jnp.bfloat16,
-        fused=fused, quadrant=quadrant, quadrant_logits=quadrant)
+        fused=fused, quadrant=quadrant, quadrant_logits=quadrant,
+        quadrant_input=patch if quadrant else None)
     x0 = jnp.zeros((1, *patch, 1), jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
     apply_fn = lambda p, x: model.apply(p, x, do_ds=False)

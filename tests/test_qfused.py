@@ -396,6 +396,18 @@ def test_sliding_with_quadrant_logits_matches_plain():
                                np.asarray(probs_plain),
                                rtol=1e-5, atol=1e-6)
 
+    # quadrant_input: the predictor quadrantizes per TILE and mirrors the
+    # input in quadrant space (rank-4 model input) — must match exactly
+    m_qi = ShiftUNetPlusPlus(**kw, quadrant_logits=True,
+                             quadrant_input=patch)
+    apply_qi = lambda p, x: m_qi.apply(p, x, do_ds=False)
+    pred_qi = make_tiled_predictor(apply_qi, patch, 3, quadrant_meta=qmeta)
+    probs_qi = predict_volume_tiled(apply_qi, params, vol, patch, 3,
+                                    predictor=pred_qi)
+    np.testing.assert_allclose(np.asarray(probs_qi),
+                               np.asarray(probs_plain),
+                               rtol=1e-5, atol=1e-6)
+
 
 @pytest.mark.parametrize("q", QS)
 @pytest.mark.parametrize("shift", [True, False])
