@@ -302,19 +302,18 @@ class ShiftUNetPlusPlus(nn.Module):
                   and stride == tuple(q0)
                   and fused_ok(1, (enc[1],), enc[1])):
                 # leave the quadrant level natively: block0 = depth shift +
-                # strided conv as block algebra on the quadrant tensor
-                # (ops/qfused.quadrant_strided_shift_conv) — no full-res
-                # de-quadrantize + shift-select round trip
-                multq, offq = q_affine_of(h)
-                xqn = quadrant_apply_norm_lrelu(
-                    h.raw, multq, offq, quadrant_colmask(Hq0, Wq0, wqp0))
+                # strided conv as block algebra on the quadrant tensor —
+                # one Pallas kernel with norm-on-load (ops/qstride.py; XLA
+                # fallback ops/qfused.quadrant_strided_shift_conv) — no
+                # full-res de-quadrantize + shift-select round trip, no
+                # norm materializer
                 out = StackedConvBlocks(
                     features=enc[1], num_convs=self.num_conv_per_stage,
                     fused=True,
                     fused_hw=(level_size[1][1], level_size[1][2]),
                     fused_interpret=self.fused_interpret,
                     q_transition=(tuple(q0), Hq0, Wq0, level_wp[1]),
-                    name="context1", **common)(([xqn], [None]))
+                    name="context1", **common)(([h.raw], [q_affine_of(h)]))
                 h = Pending(*out)
             else:
                 h = Stack(features=enc[d],

@@ -315,13 +315,16 @@ class ShiftConvBlock(nn.Module):
         normalization is NOT applied; consumers apply it on load. Parameter
         shapes/names are identical in both modes (checkpoint interop)."""
         if self.fused and self.fused_q_strided is not None:
-            from .qfused import quadrant_strided_shift_conv
-            (xqn,), _ = x
+            from .qfused import (quadrant_apply_norm_lrelu, quadrant_colmask,
+                                 quadrant_strided_shift_conv)
+            from .qstride import (QSStatic, qstrided_supported,
+                                  quadrant_strided_fused)
+            (x0,), (aff,) = x
             q, Hq, Wq, wp_out = self.fused_q_strided
             assert self.kernel == (1, 3, 3)
             assert self.norm_op == "instance" and self.nonlin == "lrelu"
             Q = int(np.prod(q))
-            cin = int(xqn.shape[2]) // Q
+            cin = int(x0.shape[2]) // Q
             kernel = self.param("kernel", he_normal_leaky(),
                                 (3, 3, cin, self.features))
             bias = self.param("bias", nn.initializers.zeros,
@@ -330,10 +333,26 @@ class ShiftConvBlock(nn.Module):
                                (self.features,))
             nbias = self.param("norm_bias", nn.initializers.zeros,
                                (self.features,))
-            y, stats = quadrant_strided_shift_conv(
-                xqn, kernel, bias, q, Hq, Wq, wp_out,
-                shift_size=self.shift_size, do_shift=self.do_shift,
-                compute_dtype=self.compute_dtype)
+            wqp = int(x0.shape[3]) // Hq
+            import os
+            use_kernel = (aff is not None
+                          and os.environ.get("QSTRIDED_KERNEL", "1") == "1"
+                          and qstrided_supported(q, cin, self.features,
+                                                 Hq, Wq, wqp, wp_out))
+            if use_kernel:
+                static = QSStatic(tuple(q), cin, self.features,
+                                  int(x0.shape[1]), Hq, Wq, wqp,
+                                  self.shift_size, self.do_shift,
+                                  self.fused_interpret)
+                y, stats = quadrant_strided_fused(
+                    x0, aff[0], aff[1], kernel, bias, static)
+            else:
+                xqn = (x0 if aff is None else quadrant_apply_norm_lrelu(
+                    x0, aff[0], aff[1], quadrant_colmask(Hq, Wq, wqp)))
+                y, stats = quadrant_strided_shift_conv(
+                    xqn, kernel, bias, q, Hq, Wq, wp_out,
+                    shift_size=self.shift_size, do_shift=self.do_shift,
+                    compute_dtype=self.compute_dtype)
             return y, stats, scale, nbias
 
         if self.fused:
