@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .shift import (depth_shift, depth_shift_custom,
+from .shift import (depth_shift, depth_shift_custom, group_shifts,
                     group_shifts_for_range)
 
 LRELU_SLOPE = 1e-2
@@ -145,39 +145,68 @@ def _precision_for(dtype):
             if dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
 
+NO_FLIPS = (False, False, False)
+
+
 def conv3d_one_flat(x: jnp.ndarray, kernel: jnp.ndarray,
                     bias: Optional[jnp.ndarray],
                     stride: Tuple[int, int, int], flat_axis: int,
-                    compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                    compute_dtype=jnp.bfloat16,
+                    flips: Tuple[bool, bool, bool] = NO_FLIPS) -> jnp.ndarray:
     """3D conv whose kernel is 1 along `flat_axis` (0=D,1=H,2=W): permute
     that axis into the batch-fold position and run the 2D path. Covers the
-    313/331 ablation kernels (unetpp_d_313.py:286, unetpp_d_331.py:286)."""
+    313/331 ablation kernels (unetpp_d_313.py:286, unetpp_d_331.py:286).
+
+    flips: per TRUE spatial axis (d, h, w) — compute the MIRRORED-equivalent
+    conv: conv(x, flips=c) == flip_c(conv(flip_c(x))) exactly. Mirrored
+    kernel + swapped strided-axis padding (see conv3d_as_2d). The substrate
+    of flip-free mirror TTA (the reference flips data per pass,
+    neural_network.py:529-563; we mirror the operator instead)."""
     if flat_axis == 0:
-        return conv3d_as_2d(x, kernel, bias, stride, compute_dtype)
+        return conv3d_as_2d(x, kernel, bias, stride, compute_dtype, flips)
     # move flat axis to position 1 (the D slot of conv3d_as_2d)
     perm = {1: (0, 2, 1, 3, 4), 2: (0, 3, 1, 2, 4)}[flat_axis]
     inv = {1: (0, 2, 1, 3, 4), 2: (0, 2, 3, 1, 4)}[flat_axis]
     strides = {1: (stride[1], stride[0], stride[2]),
                2: (stride[2], stride[0], stride[1])}[flat_axis]
+    fl = {1: (flips[1], flips[0], flips[2]),
+          2: (flips[2], flips[0], flips[1])}[flat_axis]
     y = conv3d_as_2d(jnp.transpose(x, perm), kernel, bias, strides,
-                     compute_dtype)
+                     compute_dtype, fl)
     return jnp.transpose(y, inv)
 
 
 def conv3d_as_2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
                  stride: Tuple[int, int, int],
-                 compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                 compute_dtype=jnp.bfloat16,
+                 flips: Tuple[bool, bool, bool] = NO_FLIPS) -> jnp.ndarray:
     """(1,kh,kw) 3D conv as a batched 2D conv. kernel: (kh, kw, Cin, Cout).
     Depth stride is realized by slicing D before the fold (exactly what a
-    kernel-size-1 strided conv computes)."""
+    kernel-size-1 strided conv computes).
+
+    flips (fd, fh, fw): mirrored-equivalent conv. Per flipped spatial axis:
+    mirror the kernel; a flipped STRIDE-s axis additionally re-anchors the
+    window grid — padding (1,1) -> (2-s, s) for kernel 3 (derivation:
+    p_lo' = k - 1 - (I - sJ + s - 1 + p_lo)), and the kernel-1 depth slice
+    starts at sd-1 (flip maps the kept residues 0 mod s -> s-1 mod s)."""
     sd, sh, sw = stride
+    fd, fh, fw = flips
     if sd > 1:
-        x = x[:, ::sd]
+        x = x[:, sd - 1::sd] if fd else x[:, ::sd]
     N, D, H, W, C = x.shape
     kh, kw, cin, cout = kernel.shape
+    if fh:
+        kernel = kernel[::-1]
+    if fw:
+        kernel = kernel[:, ::-1]
     x2 = x.reshape(N * D, H, W, C).astype(compute_dtype)
-    pad_h = (kh // 2, kh // 2)
-    pad_w = (kw // 2, kw // 2)
+    # flipped axis: pad (k//2, k//2) -> (k - s - k//2, k//2); stride 1 is
+    # symmetric (unchanged), stride 2 re-anchors the window grid (kernel 3:
+    # (0, 1); kernel 1: (-1, 0) — XLA accepts negative padding)
+    pad_h = ((kh - sh - kh // 2, kh // 2) if fh
+             else (kh // 2, kh // 2))
+    pad_w = ((kw - sw - kw // 2, kw // 2) if fw
+             else (kw // 2, kw // 2))
     y = jax.lax.conv_general_dilated(
         x2, kernel.astype(compute_dtype),
         window_strides=(sh, sw),
@@ -191,6 +220,18 @@ def conv3d_as_2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray
     if bias is not None:
         y = y + bias.astype(compute_dtype)
     return y
+
+
+def flip_transp_kernel(kernel: jnp.ndarray,
+                       flips: Tuple[bool, bool, bool]) -> jnp.ndarray:
+    """Mirrored-equivalent transposed conv (kernel == stride): since
+    y[s*j + r] = x[j] * k[r], the flipped operator is exactly the kernel
+    with its spatial entries reversed per flipped axis (r <-> s-1-r) — no
+    window re-anchoring (flip_c(tconv(flip_c(x))) == tconv_flipk(x))."""
+    for ax, f in enumerate(flips):
+        if f:
+            kernel = jnp.flip(kernel, axis=ax)
+    return kernel
 
 
 def transp_conv_matmul(x: jnp.ndarray, kernel: jnp.ndarray,
@@ -298,6 +339,11 @@ class ShiftConvBlock(nn.Module):
     # shapes/names match the unfused strided block exactly.
     fused_q_strided: Optional[Tuple[Tuple[int, int, int], int, int, int]] = \
         None
+    # mirrored-equivalent block (flip-free TTA): block(x, flips=c) ==
+    # flip_c(block(flip_c(x))) — mirrored conv kernels + re-anchored
+    # strided windows + negated shift groups. Norms/nonlins are
+    # flip-invariant; parameters are IDENTICAL across flip variants.
+    flips: Tuple[bool, bool, bool] = NO_FLIPS
 
     @nn.compact
     def __call__(self, x):
@@ -343,7 +389,8 @@ class ShiftConvBlock(nn.Module):
                 static = QSStatic(tuple(q), cin, self.features,
                                   int(x0.shape[1]), Hq, Wq, wqp,
                                   self.shift_size, self.do_shift,
-                                  self.fused_interpret)
+                                  self.fused_interpret,
+                                  tuple(self.flips))
                 y, stats = quadrant_strided_fused(
                     x0, aff[0], aff[1], kernel, bias, static)
             else:
@@ -352,7 +399,8 @@ class ShiftConvBlock(nn.Module):
                 y, stats = quadrant_strided_shift_conv(
                     xqn, kernel, bias, q, Hq, Wq, wp_out,
                     shift_size=self.shift_size, do_shift=self.do_shift,
-                    compute_dtype=self.compute_dtype)
+                    compute_dtype=self.compute_dtype,
+                    flips=tuple(self.flips))
             return y, stats, scale, nbias
 
         if self.fused:
@@ -381,14 +429,16 @@ class ShiftConvBlock(nn.Module):
                     bias.astype(self.compute_dtype), affines,
                     self.fused_q, H, W,
                     shift_size=self.shift_size, do_shift=self.do_shift,
-                    interpret=self.fused_interpret)
+                    interpret=self.fused_interpret,
+                    flips=tuple(self.flips))
             else:
                 from .fused_block import fused_shift_conv_block
                 y, stats = fused_shift_conv_block(
                     parts, kernel.astype(self.compute_dtype),
                     bias.astype(self.compute_dtype), affines, H, W,
                     shift_size=self.shift_size, do_shift=self.do_shift,
-                    interpret=self.fused_interpret)
+                    interpret=self.fused_interpret,
+                    flips=tuple(self.flips))
             return y, stats, scale, nbias
 
         kd, kh, kw = self.kernel
@@ -406,12 +456,18 @@ class ShiftConvBlock(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         shifting = self.do_shift and self.kernel == (1, 3, 3)
 
+        fd = self.flips[0]
         if len(parts) == 1:
             x = parts[0]
             if shifting:
-                x = depth_shift(x, self.shift_size)
+                if fd:
+                    neg = tuple((c0, c1, -s) for (c0, c1, s)
+                                in group_shifts(cin, self.shift_size))
+                    x = depth_shift_custom(x, neg)
+                else:
+                    x = depth_shift(x, self.shift_size)
             y = conv3d_one_flat(x, kernel, bias, self.stride, flat_axis,
-                                self.compute_dtype)
+                                self.compute_dtype, flips=self.flips)
         else:
             y = None
             off = 0
@@ -420,12 +476,16 @@ class ShiftConvBlock(nn.Module):
                 if shifting:
                     groups = group_shifts_for_range(cin, self.shift_size,
                                                     off, off + pc)
+                    if fd:
+                        groups = tuple((c0, c1, -s)
+                                       for (c0, c1, s) in groups)
                     part = depth_shift_custom(part, groups)
                 ksl = jax.lax.slice_in_dim(kernel, off, off + pc, axis=-2)
                 contrib = conv3d_one_flat(part, ksl,
                                           bias if y is None else None,
                                           self.stride, flat_axis,
-                                          self.compute_dtype)
+                                          self.compute_dtype,
+                                          flips=self.flips)
                 y = contrib if y is None else y + contrib
                 off += pc
         scale = self.param("norm_scale", nn.initializers.ones, (self.features,))
@@ -461,6 +521,7 @@ class StackedConvBlocks(nn.Module):
     # the remaining blocks run the plain fused CF path at the level-below
     # geometry (fused_hw). x is then ([normalized quadrant tensor], [None]).
     q_transition: Optional[Tuple[Tuple[int, int, int], int, int, int]] = None
+    flips: Tuple[bool, bool, bool] = NO_FLIPS   # mirrored-equivalent stack
 
     @nn.compact
     def __call__(self, x):
@@ -503,6 +564,7 @@ class StackedConvBlocks(nn.Module):
                     fused_hw=self.fused_hw, fused_q=self.fused_q,
                     fused_q_strided=(self.q_transition if i == 0 else None),
                     fused_interpret=self.fused_interpret,
+                    flips=self.flips,
                     name=f"block{i}")((parts, affines))
             return out
 
@@ -513,6 +575,7 @@ class StackedConvBlocks(nn.Module):
                 shift_size=self.shift_size, do_shift=self.do_shift,
                 compute_dtype=self.compute_dtype,
                 norm_op=self.norm_op, nonlin=self.nonlin,
+                flips=self.flips,
                 name=f"block{i}")(x)
         return x
 
@@ -529,6 +592,7 @@ class TranspConv(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     cf_out: Optional[Tuple[int, int, int]] = None
     q_out: Optional[int] = None          # Wqp of the quadrant layout
+    flips: Tuple[bool, bool, bool] = NO_FLIPS   # mirrored-equivalent op
 
     @nn.compact
     def __call__(self, x):
@@ -536,6 +600,8 @@ class TranspConv(nn.Module):
         sd, sh, sw = self.stride
         kernel = self.param("kernel", he_normal_leaky(),
                             (sd, sh, sw, cin, self.features))
+        if any(self.flips):
+            kernel = flip_transp_kernel(kernel, self.flips)
         if self.q_out is not None:
             from .qfused import transp_conv_quadrant
             return transp_conv_quadrant(x, kernel, self.stride, self.q_out,

@@ -960,12 +960,18 @@ def fused_shift_conv_block(parts: Sequence[jnp.ndarray],
                            do_shift: bool = True,
                            do_stats: bool = True,
                            use_pallas: bool = True,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           flips=(False, False, False)):
     """parts: padded channels-first flat tensors (N, D, Ci, H*Wp) — an
     implicit channel concat; padding columns (w >= W) must be zero.
     kernel: (3, 3, C, CO). bias: (CO,). affines: per part, None or a pair
     (mult (Ci,) or (N, Ci), off likewise) f32 — the part's pending
     instance-norm apply + leaky-relu, executed on load.
+
+    flips (fd, fh, fw): the MIRRORED-equivalent block (flip-free TTA) —
+    block(x, flips=c) == flip_c(block(flip_c(x))). For this stride-1 block
+    that is exactly: mirrored conv kernel (h/w) + negated shift groups (d);
+    the tap slices / halo geometry and the Pallas kernel are UNCHANGED.
 
     Returns (y_raw (N, D, CO, H*Wp): conv output, NOT normalized, padding
              columns zero; stats (N, CO, 2): [sum, sumsq] over valid voxels
@@ -977,8 +983,14 @@ def fused_shift_conv_block(parts: Sequence[jnp.ndarray],
     CO = int(kernel.shape[-1])
     Wp = parts[0].shape[3] // H
     assert parts[0].shape[3] == H * Wp and Wp >= W + 1 and Wp <= 255
+    if flips[1]:
+        kernel = kernel[::-1]
+    if flips[2]:
+        kernel = kernel[:, ::-1]
     groups = (tuple(group_shifts(C, shift_size)) if do_shift
               else ((0, C, 0),))
+    if flips[0]:
+        groups = tuple((c0, c1, -s) for (c0, c1, s) in groups)
     part_affine = tuple(a is not None for a in affines)
     w2 = kernel.reshape(9 * C, CO)
     N = int(parts[0].shape[0])

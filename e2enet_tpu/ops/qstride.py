@@ -75,11 +75,24 @@ class QSStatic(NamedTuple):
     shift_size: int
     do_shift: bool
     interpret: bool
+    # mirrored-equivalent op (flip-free TTA): op(x, flips=c) ==
+    # flip_c(op(flip_c(x))). A flipped stride-2 axis re-anchors the window
+    # grid: depth shift s -> -(s+1) (the kept residues swap parity), conv
+    # taps read positions dh+1 in {0,1,2} with the mirrored kernel.
+    flips: Tuple[bool, bool, bool] = (False, False, False)
 
 
-def _groups(C: int, shift_size: int, do_shift: bool):
-    return (tuple(group_shifts(C, shift_size)) if do_shift
-            else ((0, C, 0),))
+def _groups(C: int, shift_size: int, do_shift: bool,
+            qd: int = 2, flip_d: bool = False):
+    """Shift groups, with the depth flip folded in: the kernel's source
+    formula x[2dq - s] stays; a flipped depth axis maps s -> -(s+1)
+    (qd == 2: flip swaps the kept even rows to odd) or -s (qd == 1)."""
+    gs = (tuple(group_shifts(C, shift_size)) if do_shift
+          else ((0, C, 0),))
+    if flip_d:
+        gs = tuple((c0, c1, -(s + 1) if qd == 2 else -s)
+                   for (c0, c1, s) in gs)
+    return gs
 
 
 def _depth_offsets(q, groups):
@@ -95,11 +108,23 @@ def _depth_offsets(q, groups):
     return min(offs), max(offs)
 
 
-def _tap_geometry(q, Wqp, dh, dw):
-    """(bh, bw, lane_offset) of conv tap (dh, dw)."""
+def _tap_geometry(q, Wqp, dh, dw, flips=(False, False, False)):
+    """(bh, bw, lane_offset) of conv tap (dh, dw). On a flipped stride-2
+    axis the (pre-mirrored) kernel's tap slot reads position p = dh + 1 in
+    {0, 1, 2} -> block p & 1 at offset p >> 1; a flipped stride-1 axis
+    needs only the kernel mirror (geometry unchanged)."""
     _, qh, qw = q
-    bh, hq_off = ((dh & 1), -1 if dh == -1 else 0) if qh == 2 else (0, dh)
-    bw, wq_off = ((dw & 1), -1 if dw == -1 else 0) if qw == 2 else (0, dw)
+
+    def one(dv, qv, f):
+        if qv != 2:
+            return 0, dv
+        if f:
+            p = dv + 1
+            return p & 1, p >> 1
+        return dv & 1, (-1 if dv == -1 else 0)
+
+    bh, hq_off = one(dh, qh, flips[1])
+    bw, wq_off = one(dw, qw, flips[2])
     return bh, bw, hq_off * Wqp + wq_off
 
 
@@ -107,7 +132,8 @@ def _vmem_bytes(s: QSStatic, itemsize=2):
     qd, qh, qw = s.q
     Q = qd * qh * qw
     L = s.Hq * s.Wqp
-    lo, hi = _depth_offsets(s.q, _groups(s.C, s.shift_size, s.do_shift))
+    lo, hi = _depth_offsets(s.q, _groups(s.C, s.shift_size, s.do_shift,
+                                         s.q[0], s.flips[0]))
     nslot = (hi - lo + 1) + 1
     ring = nslot * Q * s.C * L * itemsize
     sref = 9 * s.C * L * itemsize
@@ -134,7 +160,7 @@ def _kernel(x_hbm, m_ref, o_ref, w_ref, b_ref, cm_ref, o_y, o_stats,
     qd, qh, qw = s.q
     Q = qd * qh * qw
     C, CO, Dq, L, Wqp = s.C, s.CO, s.Dq, s.Hq * s.Wqp, s.Wqp
-    groups = _groups(C, s.shift_size, s.do_shift)
+    groups = _groups(C, s.shift_size, s.do_shift, qd, s.flips[0])
     minoff, maxoff = _depth_offsets(s.q, groups)
     nslot = (maxoff - minoff + 1) + 1   # window + 1 prefetch slot
 
@@ -198,7 +224,7 @@ def _kernel(x_hbm, m_ref, o_ref, w_ref, b_ref, cm_ref, o_y, o_stats,
 
     # ---- assemble the 9 tap row-blocks (lane shift baked into the write)
     for t, (dh, dw) in enumerate(TAPS):
-        bh, bw, lo = _tap_geometry(s.q, Wqp, dh, dw)
+        bh, bw, lo = _tap_geometry(s.q, Wqp, dh, dw, s.flips)
         for (c0, c1, sh) in groups:
             if qd == 1:
                 bd, doff = 0, -sh
@@ -248,10 +274,14 @@ def _forward(xraw, mult, off, kernel, bias, s: QSStatic):
     N = xraw.shape[0]
     L = s.Hq * s.Wqp
     dtype = xraw.dtype
-    groups = _groups(s.C, s.shift_size, s.do_shift)
+    groups = _groups(s.C, s.shift_size, s.do_shift, s.q[0], s.flips[0])
     minoff, maxoff = _depth_offsets(s.q, groups)
     nslot = (maxoff - minoff + 1) + 1
 
+    if s.flips[1]:
+        kernel = kernel[::-1]
+    if s.flips[2]:
+        kernel = kernel[:, ::-1]
     w2 = kernel.reshape(9 * s.C, s.CO).astype(dtype)
     lane = np.arange(L) % s.Wqp
     colmask = jnp.asarray((lane < s.Wq).astype(np.float32)[None, :])
@@ -302,7 +332,7 @@ def _ref_forward(xraw, mult, off, kernel, bias, s: QSStatic):
     return quadrant_strided_shift_conv(
         xqn, kernel, bias, s.q, s.Hq, s.Wq, s.Wqp,
         shift_size=s.shift_size, do_shift=s.do_shift,
-        compute_dtype=xraw.dtype)
+        compute_dtype=xraw.dtype, flips=s.flips)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
