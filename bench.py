@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--fused_max_level", type=int, default=None,
                     help="deepest level run through the fused Pallas "
                          "blocks (default: model default)")
+    ap.add_argument("--flip_free", type=int, default=1,
+                    help="mirror TTA via statically mirrored operators "
+                         "(no data flips/unflips; exact same math). "
+                         "0 = per-pass flip+select TTA")
     ap.add_argument("--accum", choices=["f32", "f16", "bf16"],
                     default="f16",
                     help="sliding-window accumulator dtype. Default f16 = "
@@ -85,6 +89,15 @@ def main():
     apply_fn = lambda p, x: model.apply(p, x, do_ds=False)
     qmeta = (((2, 2, 2), patch[1] // 2, patch[2] // 2)
              if not args.no_quadrant else None)
+    mirror_fns = None
+    if args.flip_free:
+        from e2enet_tpu.ops.sliding import flip_combinations
+        mirror_fns = []
+        for c in flip_combinations((0, 1, 2)):
+            f = tuple(a in c for a in (0, 1, 2))
+            net_m = model.clone(flips=f) if any(f) else model
+            mirror_fns.append(lambda p, x, _n=net_m: _n.apply(
+                p, x, do_ds=False))
     predictor = make_tiled_predictor(apply_fn, patch, num_classes,
                                      mirror_axes=(0, 1, 2),
                                      do_mirroring=True,
@@ -96,7 +109,8 @@ def main():
                                      quadrant_meta=qmeta,
                                      prob_dtype=(jnp.bfloat16
                                                  if args.accum != "f32"
-                                                 else None))
+                                                 else None),
+                                     mirror_apply_fns=mirror_fns)
 
     steps = compute_steps_for_sliding_window(patch, vol_shape, 0.5)
     starts = np.array([(a, b, c) for a in steps[0] for b in steps[1]

@@ -139,6 +139,23 @@ def append_prev_stage_onehot(data: np.ndarray, out_file: str,
     return np.concatenate([data, onehot], axis=0)
 
 
+def mirror_apply_fns_for(network, mirror_axes=(0, 1, 2)):
+    """Flip-free mirror TTA: one statically MIRRORED apply per flip
+    combination (ops/sliding.flip_combinations order), all sharing the
+    SAME parameter tree — net.clone(flips=c) computes
+    flip_c(net(flip_c(x))) exactly via mirrored operators (models/unetpp
+    `flips`), so the sliding predictor never flips data (the reference
+    flips per pass, neural_network.py:529-563)."""
+    from ..ops.sliding import flip_combinations
+    fns = []
+    for c in flip_combinations(mirror_axes):
+        f = tuple(a in c for a in (0, 1, 2))
+        net_m = network.clone(flips=f) if any(f) else network
+        fns.append(lambda params, x, _n=net_m: _n.apply(
+            {"params": params}, x, do_ds=False))
+    return fns
+
+
 def _make_mesh(num_devices: int):
     import jax
     from jax.sharding import Mesh
@@ -152,7 +169,8 @@ def predict_case(bundle: ModelBundle, data: np.ndarray,
                  do_tta: bool = True, step_size: float = 0.5,
                  predictor_cache: Optional[dict] = None,
                  num_devices: int = 1,
-                 all_in_gpu: bool = False) -> np.ndarray:
+                 all_in_gpu: bool = False,
+                 flip_free: Optional[bool] = None) -> np.ndarray:
     """Fold-ensemble softmax for preprocessed data (C, X, Y, Z).
 
     num_devices > 1 shards the TILE list of every volume over a device mesh
@@ -162,16 +180,25 @@ def predict_case(bundle: ModelBundle, data: np.ndarray,
 
     all_in_gpu mirrors the reference's fast mode (neural_network.py:337-363:
     fp16 accumulators kept on device): f16 sliding-window accumulators,
-    ~2%% faster; default keeps exact f32 accumulation."""
+    ~2%% faster; default keeps exact f32 accumulation.
+
+    flip_free: mirror TTA via statically mirrored operators instead of
+    data flips (mirror_apply_fns_for; exact — same math, no flips).
+    None = auto: on whenever TTA runs."""
     apply_fn = lambda params, x: bundle.network.apply(
         {"params": params}, x, do_ds=False)
+    if flip_free is None:
+        flip_free = do_tta
+    mirror_fns = (mirror_apply_fns_for(bundle.network)
+                  if (flip_free and do_tta) else None)
     accum = jnp.float16 if all_in_gpu else jnp.float32
     # fast mode also keeps the per-pass TTA probs bf16 (for bf16 models);
     # the logits heads emit f32 regardless, so this is an explicit knob
     prob_dtype = (jnp.bfloat16 if all_in_gpu
                   and bundle.network.compute_dtype == jnp.bfloat16
                   else None)
-    key = (bundle.patch_size, do_tta, num_devices, all_in_gpu)
+    key = (bundle.patch_size, do_tta, num_devices, all_in_gpu,
+           bool(mirror_fns))
     if predictor_cache is not None and key in predictor_cache:
         predictor = predictor_cache[key]
     else:
@@ -181,13 +208,15 @@ def predict_case(bundle: ModelBundle, data: np.ndarray,
                 apply_fn, bundle.patch_size, bundle.num_classes,
                 _make_mesh(num_devices), mirror_axes=(0, 1, 2),
                 do_mirroring=do_tta, accum_dtype=accum,
-                quadrant_meta=qmeta, prob_dtype=prob_dtype)
+                quadrant_meta=qmeta, prob_dtype=prob_dtype,
+                mirror_apply_fns=mirror_fns)
         else:
             predictor = make_tiled_predictor(
                 apply_fn, bundle.patch_size, bundle.num_classes,
                 mirror_axes=(0, 1, 2), do_mirroring=do_tta,
                 accum_dtype=accum, quadrant_meta=qmeta,
-                prob_dtype=prob_dtype)
+                prob_dtype=prob_dtype,
+                mirror_apply_fns=mirror_fns)
         if predictor_cache is not None:
             predictor_cache[key] = predictor
     softmax_sum = None

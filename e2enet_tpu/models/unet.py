@@ -32,6 +32,9 @@ class ShiftUNet(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     norm_op: str = "instance"           # architectural-variant knobs
     nonlin: str = "lrelu"
+    # mirrored-equivalent model (flip-free mirror TTA; see
+    # models/unetpp.ShiftUNetPlusPlus.flips)
+    flips: Tuple[bool, bool, bool] = (False, False, False)
 
     @property
     def num_pool(self) -> int:
@@ -64,7 +67,7 @@ class ShiftUNet(nn.Module):
         x = x.astype(cd)
         common = dict(norm_op=self.norm_op, nonlin=self.nonlin,
                       shift_size=self.shift_size, do_shift=self.do_shift,
-                      compute_dtype=cd)
+                      compute_dtype=cd, flips=tuple(self.flips))
         Stack = (nn.remat(StackedConvBlocks, static_argnums=())
                  if self.remat else StackedConvBlocks)
 
@@ -87,7 +90,8 @@ class ShiftUNet(nn.Module):
         seg_outputs = []
         for u, lvl in enumerate(reversed(range(P))):
             up = TranspConv(features=enc[lvl], stride=pools[lvl],
-                            compute_dtype=cd, name=f"up_{u}")(h)
+                            compute_dtype=cd, flips=tuple(self.flips),
+                            name=f"up_{u}")(h)
             h = jnp.concatenate([up, skips[lvl]], axis=-1)
             h = Stack(features=enc[lvl],
                                   num_convs=self.num_conv_per_stage - 1,

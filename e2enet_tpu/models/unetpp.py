@@ -109,6 +109,17 @@ class ShiftUNetPlusPlus(nn.Module):
     # the quadrantize relayout on every mirror pass (ops/sliding).
     # Rank-5 inputs still work (training, init). None = rank-5 only.
     quadrant_input: Optional[Tuple[int, int, int]] = None
+    # mirrored-equivalent model (flip-free mirror TTA): net(x, flips=c) ==
+    # flip_c(net(flip_c(x))) EXACTLY, with no data flips anywhere — every
+    # conv/shift/transpconv/fused kernel computes its mirrored variant
+    # (ops/blocks, ops/fused_block, ops/qfused, ops/qstride); norms,
+    # nonlins, k==s max pools, 1x1 heads and the quadrant relayouts are
+    # flip-equivariant and unchanged. Parameters are IDENTICAL across
+    # flip variants (net.clone(flips=...) shares the checkpoint). The
+    # sliding-window TTA (ops/sliding) runs one statically-mirrored apply
+    # per mirror pass instead of flipping data (reference flips per pass,
+    # neural_network.py:529-563).
+    flips: Tuple[bool, bool, bool] = (False, False, False)
 
     @property
     def num_pool(self) -> int:
@@ -148,7 +159,8 @@ class ShiftUNetPlusPlus(nn.Module):
 
         common = dict(shift_size=self.shift_size, do_shift=self.do_shift,
                       kernel=self.conv_kernel, compute_dtype=cd,
-                      norm_op=self.norm_op, nonlin=self.nonlin)
+                      norm_op=self.norm_op, nonlin=self.nonlin,
+                      flips=tuple(self.flips))
         # remat: store only block boundaries for the backward pass — the
         # full-res activations of every shift/conv/norm intermediate would
         # not fit in HBM at production patch sizes (jax.checkpoint)
@@ -343,7 +355,7 @@ class ShiftUNetPlusPlus(nn.Module):
         def up_fn(mdl, below, z, k, i, cf):
             # cf: False = channels-last, True = padded CF, "quad" = quadrant
             up_mod = TranspConv(features=enc[i], stride=pools[i],
-                                compute_dtype=cd,
+                                compute_dtype=cd, flips=tuple(self.flips),
                                 cf_out=((level_size[i][1], level_size[i][2],
                                          level_wp[i]) if cf is True
                                         else None),

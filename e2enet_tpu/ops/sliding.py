@@ -112,7 +112,8 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
                          accum_dtype=jnp.float32,
                          tta_batch: int = 1,
                          quadrant_meta=None,
-                         prob_dtype=None):
+                         prob_dtype=None,
+                         mirror_apply_fns=None):
     """Builds the jitted single-program sliding-window predictor.
 
     apply_fn(params, x) -> logits for x (B, pd, ph, pw, C_in), logits
@@ -120,6 +121,15 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
 
     tta_batch: how many mirror flips run per forward as a batch dimension
     (more = more MXU parallelism, x activation memory; 1 = sequential).
+
+    mirror_apply_fns: FLIP-FREE mirror TTA — a list of apply fns, one per
+    flip combination in flip_combinations(mirror_axes) order, where
+    fns[m](params, x) computes flip_m(net(flip_m(x))) via statically
+    MIRRORED operators (models/unetpp flips=...) on unflipped data. The
+    per-pass data flips and prob unflips vanish entirely (the reference
+    flips data per pass, neural_network.py:529-563); each pass is a
+    distinct trace of the network, so the compiled program inlines
+    2**len(mirror_axes) mirrored bodies instead of scanning one.
 
     prob_dtype: dtype the per-pass softmax probs are stored/unflipped in
     (the mirror-pass mean always accumulates in f32). None = exact f32.
@@ -140,7 +150,8 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
         return _tiled_accumulate(
             apply_fn, patch_size, num_classes, mirror_axes, do_mirroring,
             accum_dtype, tta_batch, params, volume, starts, n_valid,
-            tile_ids, quadrant_meta=quadrant_meta, prob_dtype=prob_dtype)
+            tile_ids, quadrant_meta=quadrant_meta, prob_dtype=prob_dtype,
+            mirror_apply_fns=mirror_apply_fns)
 
     return run
 
@@ -154,7 +165,8 @@ def make_tiled_predictor_sharded(apply_fn: Callable,
                                  accum_dtype=jnp.float32,
                                  tta_batch: int = 1,
                                  quadrant_meta=None,
-                                 prob_dtype=None):
+                                 prob_dtype=None,
+                                 mirror_apply_fns=None):
     """Multi-chip sliding window: the tile list is sharded over the mesh
     axis; every device scans its tiles into a local accumulator over the
     (replicated) volume and the accumulators are psum'd — the whole
@@ -173,7 +185,8 @@ def make_tiled_predictor_sharded(apply_fn: Callable,
         acc, wacc = _tiled_accumulate(
             apply_fn, patch_size, num_classes, mirror_axes, do_mirroring,
             accum_dtype, tta_batch, params, volume, starts, n_valid,
-            tile_ids, quadrant_meta=quadrant_meta, prob_dtype=prob_dtype)
+            tile_ids, quadrant_meta=quadrant_meta, prob_dtype=prob_dtype,
+            mirror_apply_fns=mirror_apply_fns)
         acc = jax.lax.psum(acc, axis)
         wacc = jax.lax.psum(wacc, axis)
         return acc, wacc
@@ -200,7 +213,7 @@ def make_tiled_predictor_sharded(apply_fn: Callable,
 def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
                       do_mirroring, accum_dtype, tta_batch, params, volume,
                       starts, n_valid, tile_ids, quadrant_meta=None,
-                      prob_dtype=None):
+                      prob_dtype=None, mirror_apply_fns=None):
     """Scan a (sub)list of tiles into local accumulators. tile_ids carries
     each tile's GLOBAL index so validity (id < n_valid) is preserved under
     sharding."""
@@ -211,6 +224,11 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
     tta_batch = max(1, min(tta_batch, n_tta))
     flip_flags = np.array([[a in c for a in (0, 1, 2)] for c in combos],
                           bool).reshape(-1, tta_batch, 3)
+    if mirror_apply_fns is not None:
+        assert len(mirror_apply_fns) == n_tta, (
+            f"mirror_apply_fns must match flip_combinations order: "
+            f"{len(mirror_apply_fns)} fns for {n_tta} TTA passes")
+        assert tta_batch == 1, "flip-free TTA runs passes sequentially"
 
     def apply_flips(x, flags):
         for ax in range(3):
@@ -266,7 +284,22 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
         patch = jax.lax.dynamic_slice(volume, (x0, y0, z0, 0),
                                       (pd, ph, pw, C))
 
-        if quad_out:
+        if quad_out and mirror_apply_fns is not None:
+            # flip-free mirror TTA: pass m runs the statically MIRRORED
+            # network on the UNFLIPPED tile — no input flips, no prob
+            # unflips, no dual accumulator; softmax probs add straight
+            # into one f32 sum (XLA fuses the softmax into the add)
+            xin = (to_quadrant_cf(patch[None], q0, wqp0) if quad_in
+                   else patch[None])
+            prob_sum = jnp.zeros(out_aval.shape, jnp.float32)
+            for fn_m in mirror_apply_fns:
+                lq = fn_m(params, xin)
+                p = quadrant_softmax_f32(lq, q0, num_classes,
+                                         out_dtype=jnp.float32)
+                prob_sum = prob_sum + p
+            prob_sum = from_quadrant_cf(prob_sum, q0, Hq_, Wq_,
+                                        num_classes)[0]
+        elif quad_out:
             xq0 = (to_quadrant_cf(patch[None], q0, wqp0) if quad_in
                    else None)
 
@@ -316,6 +349,13 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
                                                          Hq_, Wq_)
             prob_sum = from_quadrant_cf(prob_sum, q0, Hq_, Wq_,
                                         num_classes)[0]
+        elif mirror_apply_fns is not None:
+            # flip-free mirror TTA, plain rank-5 logits
+            prob_sum = jnp.zeros((pd, ph, pw, num_classes), jnp.float32)
+            for fn_m in mirror_apply_fns:
+                logits = fn_m(params, patch[None])
+                prob_sum = prob_sum + jax.nn.softmax(
+                    logits[0].astype(jnp.float32), axis=-1)
         else:
             def tta_chunk(prob_sum, flags):
                 batch = jax.vmap(lambda f: apply_flips(patch, f))(flags)

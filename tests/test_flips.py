@@ -157,6 +157,94 @@ def test_quadrant_fused_block_flips(q):
                                    err_msg=f"flips={c}")
 
 
+MODEL_COMBOS = [(True, False, False), (False, True, False),
+                (False, False, True), (True, True, True)]
+
+
+@pytest.mark.parametrize("quadrant", [True, False])
+def test_full_model_flips(quadrant):
+    """ShiftUNetPlusPlus.clone(flips=c).apply(params, x) ==
+    flip_c(net(flip_c(x))) — the whole nest composed of mirrored
+    operators telescopes to the mirrored model (quadrant kernels in
+    interpret mode AND the plain XLA path)."""
+    from e2enet_tpu.models.unetpp import ShiftUNetPlusPlus
+    kw = dict(input_channels=1, num_classes=3,
+              pool_op_kernel_sizes=((2, 2, 2), (2, 2, 2)),
+              base_num_features=4, compute_dtype=jnp.float32, remat=False)
+    if quadrant:
+        kw.update(fused=True, fused_interpret=True, quadrant=True)
+    else:
+        kw.update(fused=False, quadrant=False)
+    net = ShiftUNetPlusPlus(**kw)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 16, 1),
+                          jnp.float32)
+    params = net.init(jax.random.PRNGKey(4), x)
+    for c in MODEL_COMBOS:
+        got = net.clone(flips=c).apply(params, x, do_ds=False)
+        ref = _flip(net.apply(params, _flip(x, c), do_ds=False), c)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"flips={c}")
+
+
+def test_flip_free_sliding_matches_flip_tta():
+    """The flip-free sliding-window TTA (mirror_apply_fns: statically
+    mirrored network per pass, zero data flips) == the flip-based TTA,
+    for both the quadrant-logits path and the plain path."""
+    from e2enet_tpu.models.unetpp import ShiftUNetPlusPlus
+    from e2enet_tpu.ops.sliding import (flip_combinations,
+                                        make_tiled_predictor,
+                                        predict_volume_tiled)
+    kw = dict(input_channels=1, num_classes=3,
+              pool_op_kernel_sizes=((2, 2, 2), (2, 2, 2)),
+              base_num_features=4, compute_dtype=jnp.float32, remat=False,
+              fused=True, fused_interpret=True, quadrant=True)
+    patch = (4, 8, 16)
+    net = ShiftUNetPlusPlus(**kw, quadrant_logits=True,
+                            quadrant_input=patch)
+    x0 = jnp.zeros((1, *patch, 1), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x0)
+    apply_fn = lambda p, x: net.apply(p, x, do_ds=False)
+    mirror_fns = []
+    for c in flip_combinations((0, 1, 2)):
+        f = tuple(a in c for a in (0, 1, 2))
+        net_m = net.clone(flips=f) if any(f) else net
+        mirror_fns.append(lambda p, x, _n=net_m: _n.apply(
+            p, x, do_ds=False))
+    qmeta = ((2, 2, 2), patch[1] // 2, patch[2] // 2)
+    vol = np.random.RandomState(5).randn(1, 6, 12, 24).astype(np.float32)
+    pred_flip = make_tiled_predictor(apply_fn, patch, 3,
+                                     quadrant_meta=qmeta)
+    pred_free = make_tiled_predictor(apply_fn, patch, 3,
+                                     quadrant_meta=qmeta,
+                                     mirror_apply_fns=mirror_fns)
+    probs_flip = predict_volume_tiled(apply_fn, params, vol, patch, 3,
+                                      predictor=pred_flip)
+    probs_free = predict_volume_tiled(apply_fn, params, vol, patch, 3,
+                                      predictor=pred_free)
+    np.testing.assert_allclose(np.asarray(probs_free),
+                               np.asarray(probs_flip),
+                               rtol=1e-5, atol=1e-6)
+
+    # plain (rank-5 logits) model through the flip-free path
+    net_p = ShiftUNetPlusPlus(**{**kw, "fused": False, "quadrant": False})
+    apply_p = lambda p, x: net_p.apply(p, x, do_ds=False)
+    params_p = net_p.init(jax.random.PRNGKey(1), x0)
+    fns_p = []
+    for c in flip_combinations((0, 1, 2)):
+        f = tuple(a in c for a in (0, 1, 2))
+        net_m = net_p.clone(flips=f) if any(f) else net_p
+        fns_p.append(lambda p, x, _n=net_m: _n.apply(p, x, do_ds=False))
+    pf = make_tiled_predictor(apply_p, patch, 3)
+    pff = make_tiled_predictor(apply_p, patch, 3, mirror_apply_fns=fns_p)
+    a = predict_volume_tiled(apply_p, params_p, vol, patch, 3,
+                             predictor=pf)
+    b = predict_volume_tiled(apply_p, params_p, vol, patch, 3,
+                             predictor=pff)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_fused_block_cf_flips():
     """Plain (non-quadrant) fused CF block with flips vs the oracle."""
     from e2enet_tpu.ops import blocks as B
