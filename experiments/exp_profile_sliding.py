@@ -47,6 +47,15 @@ def main():
     qmeta = (((2, 2, 2), patch[1] // 2, patch[2] // 2)
              if quadrant else None)
     accum = jnp.float16 if "--accum_f16" in sys.argv else jnp.float32
+    mirror_fns = None
+    if "--flip_free" in sys.argv:
+        from e2enet_tpu.ops.sliding import flip_combinations
+        mirror_fns = []
+        for c in flip_combinations((0, 1, 2)):
+            f = tuple(a in c for a in (0, 1, 2))
+            net_m = model.clone(flips=f) if any(f) else model
+            mirror_fns.append(lambda p, x, _n=net_m: _n.apply(
+                p, x, do_ds=False))
     predictor = make_tiled_predictor(apply_fn, patch, num_classes,
                                      mirror_axes=(0, 1, 2),
                                      do_mirroring=True,
@@ -54,7 +63,8 @@ def main():
                                      accum_dtype=accum,
                                      prob_dtype=(jnp.bfloat16
                                                  if accum == jnp.float16
-                                                 else None))
+                                                 else None),
+                                     mirror_apply_fns=mirror_fns)
     vol = np.random.RandomState(0).randn(1, *vol_shape).astype(np.float32)
 
     def run():
