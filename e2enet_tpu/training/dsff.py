@@ -241,9 +241,13 @@ def cosine_death_rate(step: jnp.ndarray, death_rate: float, t_max: int,
         jnp.pi * frac))
 
 
-def _layer_death_growth(w, grad, mask, rng, death_rate, growth_mode: str):
-    """One layer's prune + regrow. All-static shapes; dynamic counts through
-    sorted-threshold indexing."""
+def kernel_death_survive(w, mask, death_rate):
+    """The death half of one layer's update — kill the (num_zero_kernels +
+    prune_num) smallest-L1 kernels; already-dead ones have L1 == 0.
+    Parity: kernel_death (core_channel.py:647-666); selection is
+    deterministic given (w, mask, death_rate) and is pinned against the
+    reference torch implementation in tests/test_training_parity.py.
+    Returns (survived (in,out) 0/1 float, num_death killed among alive)."""
     cin, cout = mask.shape
     k_size = _kernel_numel(w.shape)
     n_pairs = cin * cout
@@ -255,8 +259,6 @@ def _layer_death_growth(w, grad, mask, rng, death_rate, growth_mode: str):
     nonzeros_el = jnp.sum(mask) * k_size
     zeros_el = n_pairs * k_size - nonzeros_el
 
-    # --- death (kernel_death :647-666): kill the (num_zero_kernels +
-    # prune_num) smallest-L1 kernels; already-dead ones have L1 == 0
     prune_num = jnp.ceil(death_rate * nonzeros_el / k_size).astype(jnp.int32)
     num_zero_k = jnp.ceil(zeros_el / k_size).astype(jnp.int32)
     sorted_l1 = jnp.sort(l1.reshape(-1))
@@ -265,11 +267,21 @@ def _layer_death_growth(w, grad, mask, rng, death_rate, growth_mode: str):
     survived = (l1 > thr).astype(jnp.float32) * mask
     # exact count killed among alive (ties can over-kill, as in reference)
     num_death = (jnp.sum(mask) - jnp.sum(survived)).astype(jnp.int32)
+    return survived, num_death
+
+
+def _layer_death_growth(w, grad, mask, rng, death_rate, growth_mode: str):
+    """One layer's prune + regrow. All-static shapes; dynamic counts through
+    sorted-threshold indexing."""
+    cin, cout = mask.shape
+    n_pairs = cin * cout
+    survived, num_death = kernel_death_survive(w, mask, death_rate)
 
     # --- growth: revive num_death dead kernels
     dead = 1.0 - survived
     if growth_mode == "gradient":
-        g = jnp.sum(jnp.abs(grad.astype(jnp.float32)), axis=spatial_axes)
+        g = jnp.sum(jnp.abs(grad.astype(jnp.float32)),
+                    axis=tuple(range(w.ndim - 2)))
         score = g * dead
         sorted_desc = jnp.sort(score.reshape(-1))[::-1]
         gthr_idx = jnp.clip(num_death - 1, 0, n_pairs - 1)
