@@ -91,13 +91,8 @@ def main():
              if not args.no_quadrant else None)
     mirror_fns = None
     if args.flip_free:
-        from e2enet_tpu.ops.sliding import flip_combinations
-        mirror_fns = []
-        for c in flip_combinations((0, 1, 2)):
-            f = tuple(a in c for a in (0, 1, 2))
-            net_m = model.clone(flips=f) if any(f) else model
-            mirror_fns.append(lambda p, x, _n=net_m: _n.apply(
-                p, x, do_ds=False))
+        from e2enet_tpu.inference.predictor import mirror_apply_fns_for
+        mirror_fns = mirror_apply_fns_for(model, wrap_params=False)
     predictor = make_tiled_predictor(apply_fn, patch, num_classes,
                                      mirror_axes=(0, 1, 2),
                                      do_mirroring=True,
@@ -159,6 +154,27 @@ def main():
     patches_per_sec = n_tiles * tta / dt
     log(f"sliding-window: {dt*1000:.1f} ms/volume, "
         f"{patches_per_sec:.2f} {patch} patches/sec")
+
+    # honesty companion (VERDICT r02 #7): also time the EXACT mode (f32
+    # accumulators + f32 probs) once, so round-over-round deltas between
+    # the fast-mode headline and the exact path stay attributable.
+    if on_tpu and args.accum != "f32" and not args.profile:
+        exact_pred = make_tiled_predictor(
+            apply_fn, patch, num_classes, mirror_axes=(0, 1, 2),
+            do_mirroring=True, accum_dtype=jnp.float32,
+            tta_batch=args.tta_batch, quadrant_meta=qmeta,
+            prob_dtype=None, mirror_apply_fns=mirror_fns)
+        acc, w = exact_pred(params, vol, starts_j, n_valid)
+        np.asarray(acc[0, 0, 0, :1])  # compile+warm
+        t0 = time.time()
+        for _ in range(reps):
+            acc, w = exact_pred(params, vol, starts_j, n_valid)
+            vol = vol + 0.0 * acc[..., :1].astype(vol.dtype)
+        np.asarray(acc[0, 0, 0, :1])
+        np.asarray(vol[0, 0, 0, :1])
+        g = (time.time() - t0) / reps
+        log(f"exact-f32 mode: {g*1000:.1f} ms/volume, "
+            f"{n_tiles * tta / g:.2f} patches/sec (headline is fast mode)")
 
     # scale CPU smoke numbers to nothing — only report honestly on TPU
     result = {

@@ -139,20 +139,25 @@ def append_prev_stage_onehot(data: np.ndarray, out_file: str,
     return np.concatenate([data, onehot], axis=0)
 
 
-def mirror_apply_fns_for(network, mirror_axes=(0, 1, 2)):
+def mirror_apply_fns_for(network, mirror_axes=(0, 1, 2),
+                         wrap_params=True):
     """Flip-free mirror TTA: one statically MIRRORED apply per flip
     combination (ops/sliding.flip_combinations order), all sharing the
     SAME parameter tree — net.clone(flips=c) computes
     flip_c(net(flip_c(x))) exactly via mirrored operators (models/unetpp
     `flips`), so the sliding predictor never flips data (the reference
-    flips per pass, neural_network.py:529-563)."""
+    flips per pass, neural_network.py:529-563).
+
+    wrap_params: True when callers pass the bare params tree (ModelBundle
+    style — apply gets {"params": params}); False when callers pass the
+    full variables dict from model.init (bench/experiment style)."""
     from ..ops.sliding import flip_combinations
     fns = []
     for c in flip_combinations(mirror_axes):
         f = tuple(a in c for a in (0, 1, 2))
         net_m = network.clone(flips=f) if any(f) else network
         fns.append(lambda params, x, _n=net_m: _n.apply(
-            {"params": params}, x, do_ds=False))
+            {"params": params} if wrap_params else params, x, do_ds=False))
     return fns
 
 

@@ -288,7 +288,11 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
             # flip-free mirror TTA: pass m runs the statically MIRRORED
             # network on the UNFLIPPED tile — no input flips, no prob
             # unflips, no dual accumulator; softmax probs add straight
-            # into one f32 sum (XLA fuses the softmax into the add)
+            # into one f32 sum (XLA fuses the softmax into the add).
+            # prob_dtype is deliberately a NO-OP here: with no unflip
+            # chain there is no materialized prob tensor to shrink — the
+            # softmax fuses into the f32 accumulate, so bf16 probs would
+            # only add a rounding step without saving traffic.
             xin = (to_quadrant_cf(patch[None], q0, wqp0) if quad_in
                    else patch[None])
             prob_sum = jnp.zeros(out_aval.shape, jnp.float32)

@@ -3,7 +3,8 @@ accumulate) and print top device ops — finds predictor-boundary costs the
 plain fwd profile can't see (tile gather, flips, de-quadrantize, scatter).
 
 Run: env PYTHONPATH=/root/repo:/root/.axon_site python -u \
-    experiments/exp_profile_sliding.py [--quadrant] [--no_fused]
+    experiments/exp_profile_sliding.py [--quadrant] [--no_fused] \
+    [--flip_free] [--accum_f16]
 """
 import glob
 import gzip
@@ -49,13 +50,8 @@ def main():
     accum = jnp.float16 if "--accum_f16" in sys.argv else jnp.float32
     mirror_fns = None
     if "--flip_free" in sys.argv:
-        from e2enet_tpu.ops.sliding import flip_combinations
-        mirror_fns = []
-        for c in flip_combinations((0, 1, 2)):
-            f = tuple(a in c for a in (0, 1, 2))
-            net_m = model.clone(flips=f) if any(f) else model
-            mirror_fns.append(lambda p, x, _n=net_m: _n.apply(
-                p, x, do_ds=False))
+        from e2enet_tpu.inference.predictor import mirror_apply_fns_for
+        mirror_fns = mirror_apply_fns_for(model, wrap_params=False)
     predictor = make_tiled_predictor(apply_fn, patch, num_classes,
                                      mirror_axes=(0, 1, 2),
                                      do_mirroring=True,
