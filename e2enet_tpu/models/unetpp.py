@@ -354,13 +354,25 @@ class ShiftUNetPlusPlus(nn.Module):
 
         def up_fn(mdl, below, z, k, i, cf):
             # cf: False = channels-last, True = padded CF, "quad" = quadrant
+            # quadrant up-link from a PENDING below: norm+lrelu on the fly
+            # inside the block-column GEMM — no CL materialization, no pad,
+            # no layout-hop copies (the round-8 profile's largest glue)
+            pend_q = (cf == "quad" and isinstance(below, Pending)
+                      and int(below.raw.shape[3])
+                      == level_size[i + 1][1] * wqp0)
             up_mod = TranspConv(features=enc[i], stride=pools[i],
                                 compute_dtype=cd, flips=tuple(self.flips),
                                 cf_out=((level_size[i][1], level_size[i][2],
                                          level_wp[i]) if cf is True
                                         else None),
                                 q_out=(wqp0 if cf == "quad" else None),
+                                q_in_hw=((level_size[i + 1][1],
+                                          level_size[i + 1][2])
+                                         if pend_q else None),
                                 name=f"up{z}_{k}", parent=mdl)
+            if pend_q:
+                mult, off = affine_of(below, i + 1)
+                return up_mod((below.raw, mult, off))
             return up_mod(as_cl(below, i + 1))
 
         # fused nodes are NOT remat-wrapped: the fused op's custom-VJP
@@ -377,6 +389,14 @@ class ShiftUNetPlusPlus(nn.Module):
                 multq, offq = q_affine_of(above)
                 return quadrant_block_max_cl(above.raw, multq, offq, q0,
                                              Hq0, Wq0, enc[0])
+            if isinstance(above, Pending):
+                # norm+pool+CL in ONE pass over the pending raw (no as_cl
+                # materialization + layout copy before the reduce)
+                from ..ops.fused_block import pooled_cl_from_cf
+                _, Hs, Ws = level_size[i - 1]
+                mult, off = affine_of(above, i - 1)
+                return pooled_cl_from_cf(above.raw, mult, off, Hs, Ws,
+                                         pools[i - 1])
             return max_pool(as_cl(above, i - 1), pools[i - 1])
 
         def node_fn(mdl, below, same, above, z, k, i):

@@ -592,16 +592,29 @@ class TranspConv(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     cf_out: Optional[Tuple[int, int, int]] = None
     q_out: Optional[int] = None          # Wqp of the quadrant layout
+    # with q_out: (Hq, Wq) of the input level — the input may then be a
+    # PENDING (raw_cf, mult, off) triple consumed without materializing
+    # the normalized channels-last tensor (qfused.transp_conv_quadrant_
+    # from_cf). Requires the pending's Wp == q_out.
+    q_in_hw: Optional[Tuple[int, int]] = None
     flips: Tuple[bool, bool, bool] = NO_FLIPS   # mirrored-equivalent op
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        pending_in = isinstance(x, (tuple, list)) and len(x) == 3
+        cin = int(x[0].shape[2]) if pending_in else x.shape[-1]
         sd, sh, sw = self.stride
         kernel = self.param("kernel", he_normal_leaky(),
                             (sd, sh, sw, cin, self.features))
         if any(self.flips):
             kernel = flip_transp_kernel(kernel, self.flips)
+        if pending_in:
+            assert self.q_out is not None and self.q_in_hw is not None
+            from .qfused import transp_conv_quadrant_from_cf
+            raw, mult, off = x
+            return transp_conv_quadrant_from_cf(
+                raw, mult, off, kernel, self.stride, self.q_in_hw[0],
+                self.q_in_hw[1], self.compute_dtype)
         if self.q_out is not None:
             from .qfused import transp_conv_quadrant
             return transp_conv_quadrant(x, kernel, self.stride, self.q_out,

@@ -1078,6 +1078,30 @@ def pooled_part_cf(x: jnp.ndarray, mult: jnp.ndarray, off: jnp.ndarray,
     return a.reshape(N, D // wd, C, (H // wh) * out_wp)
 
 
+def pooled_cl_from_cf(x: jnp.ndarray, mult: jnp.ndarray, off: jnp.ndarray,
+                      H: int, W: int, window) -> jnp.ndarray:
+    """Normalized + max-pooled down-link emitted CHANNELS-LAST for
+    unfused (XLA-path) consumers, straight from the pending raw: one
+    fused pass + a small transpose of the pooled result — replaces the
+    as_cl materialization (full-size CL write + layout copy) followed by
+    max_pool (the round-8 profile: ~1.3 ms materialize + 1.6 ms reduce
+    per level-1 -> level-2 down-link). Matches max_pool(as_cl(pending))
+    exactly: same bf16 affine fast path, same reshape-max.
+    x: (N, D, C, H*Wp) pending raw; mult/off (N, C);
+    out: (N, D//wd, H//wh, W//ww, C)."""
+    N, D, C, HWp = x.shape
+    Wp = HWp // H
+    wd, wh, ww = window
+    ct = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    a = (x.astype(ct) * mult.astype(ct)[:, None, :, None]
+         + off.astype(ct)[:, None, :, None])
+    a = jnp.maximum(a, a * jnp.asarray(LRELU_SLOPE, ct)).astype(x.dtype)
+    a = a.reshape(N, D, C, H, Wp)[..., :W]
+    a = a.reshape(N, D // wd, wd, C, H // wh, wh, W // ww, ww)
+    a = jnp.max(a, axis=(2, 5, 7))                  # (N, D2, C, H2, W2)
+    return jnp.transpose(a, (0, 1, 3, 4, 2))
+
+
 def apply_norm_lrelu_cf(x: jnp.ndarray, mult: jnp.ndarray, off: jnp.ndarray,
                         colmask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Materialize a pending normalization (for non-fused consumers):
