@@ -34,10 +34,16 @@ class ConfusionMatrix:
         self.reset()
 
     def reset(self):
+        self._computed = False
         self.tp = self.fp = self.tn = self.fn = None
         self.size = None
         self.test_empty = self.test_full = None
         self.reference_empty = self.reference_full = None
+
+    def _ensure(self):
+        if not self._computed:
+            self.compute()
+        return self
 
     def compute(self):
         if self.test is None or self.reference is None:
@@ -55,25 +61,17 @@ class ConfusionMatrix:
         self.test_full = t.all()
         self.reference_empty = not r.any()
         self.reference_full = r.all()
+        self._computed = True
 
     def get_matrix(self):
-        for entry in (self.tp, self.fp, self.tn, self.fn):
-            if entry is None:
-                self.compute()
-                break
+        self._ensure()
         return self.tp, self.fp, self.tn, self.fn
 
     def get_size(self):
-        if self.size is None:
-            self.compute()
-        return self.size
+        return self._ensure().size
 
     def get_existence(self):
-        for case in (self.test_empty, self.test_full,
-                     self.reference_empty, self.reference_full):
-            if case is None:
-                self.compute()
-                break
+        self._ensure()
         return (self.test_empty, self.test_full, self.reference_empty,
                 self.reference_full)
 
