@@ -369,6 +369,7 @@ class ShiftUNetPlusPlus(nn.Module):
                                 q_in_hw=((level_size[i + 1][1],
                                           level_size[i + 1][2])
                                          if pend_q else None),
+                                interpret=self.fused_interpret,
                                 name=f"up{z}_{k}", parent=mdl)
             if pend_q:
                 mult, off = affine_of(below, i + 1)
@@ -441,7 +442,7 @@ class ShiftUNetPlusPlus(nn.Module):
                         multq, offq = q_affine_of(above)
                         p_down = quadrant_block_max_cf(
                             above.raw, multq, offq, q0, Hq0, Wq0, enc[0],
-                            level_wp[i])
+                            level_wp[i], interpret=self.fused_interpret)
                     elif isinstance(above, Pending):
                         # normalized + pooled down-link in ONE CF pass
                         _, Hs, Ws = level_size[i - 1]
@@ -517,15 +518,17 @@ class ShiftUNetPlusPlus(nn.Module):
         for i in range(n_heads):
             v = nodes[(i, P - i)]
             if isinstance(v, QPending):
-                # per-block 1x1 conv; only the logits get de-quadrantized
+                # per-block 1x1 conv on the PENDING (norm fused into the
+                # head); only the logits get de-quadrantized
                 mult, off = q_affine_of(v)
-                xq = quadrant_apply_norm_lrelu(v.raw, mult, off)
                 emit_q = (self.quadrant_logits and not do_ds and i == 0)
                 outputs.append(SegHead(num_classes=self.num_classes,
                                        compute_dtype=cd,
                                        quadrant=(q0, Hq0, Wq0),
                                        emit_quadrant=emit_q,
-                                       name=f"seg_head{i}")(xq))
+                                       interpret=self.fused_interpret,
+                                       name=f"seg_head{i}")(
+                                           (v.raw, mult, off)))
                 continue
             head_in = as_cl(v, i)
             outputs.append(SegHead(num_classes=self.num_classes,

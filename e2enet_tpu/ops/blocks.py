@@ -598,6 +598,7 @@ class TranspConv(nn.Module):
     # from_cf). Requires the pending's Wp == q_out.
     q_in_hw: Optional[Tuple[int, int]] = None
     flips: Tuple[bool, bool, bool] = NO_FLIPS   # mirrored-equivalent op
+    interpret: bool = False          # Pallas interpret mode (CPU tests)
 
     @nn.compact
     def __call__(self, x):
@@ -614,7 +615,8 @@ class TranspConv(nn.Module):
             raw, mult, off = x
             return transp_conv_quadrant_from_cf(
                 raw, mult, off, kernel, self.stride, self.q_in_hw[0],
-                self.q_in_hw[1], self.compute_dtype)
+                self.q_in_hw[1], self.compute_dtype,
+                interpret=self.interpret)
         if self.q_out is not None:
             from .qfused import transp_conv_quadrant
             return transp_conv_quadrant(x, kernel, self.stride, self.q_out,
@@ -640,6 +642,7 @@ class SegHead(nn.Module):
     # instead of de-quadrantizing — the sliding-window predictor then runs
     # TTA unflip + softmax in quadrant space (ops/qfused.quadrant_flip)
     emit_quadrant: bool = False
+    interpret: bool = False          # Pallas interpret mode (CPU tests)
 
     @nn.compact
     def __call__(self, x):
@@ -647,16 +650,33 @@ class SegHead(nn.Module):
             from .qfused import from_quadrant_cf
             q, Hq, Wq = self.quadrant
             Q = int(np.prod(q))
-            N, Dq, QC, L = x.shape
+            pending_in = isinstance(x, (tuple, list)) and len(x) == 3
+            N, Dq, QC, L = (x[0] if pending_in else x).shape
             cin = QC // Q
             kernel = self.param("kernel", he_normal_leaky(),
                                 (cin, self.num_classes))
-            xb = x.reshape(N, Dq, Q, cin, L).astype(self.compute_dtype)
-            y = jnp.einsum("ndqcl,ck->ndqkl", xb,
-                           kernel.astype(self.compute_dtype),
-                           preferred_element_type=jnp.float32,
-                           precision=_precision_for(self.compute_dtype))
-            y = y.reshape(N, Dq, Q * self.num_classes, L)
+
+            def block_1x1(xq, w):
+                xb = xq.reshape(N, Dq, Q, cin, L).astype(self.compute_dtype)
+                y = jnp.einsum("ndqcl,ck->ndqkl", xb,
+                               w.astype(self.compute_dtype),
+                               preferred_element_type=jnp.float32,
+                               precision=_precision_for(self.compute_dtype))
+                return y.reshape(N, Dq, Q * self.num_classes, L)
+
+            if pending_in:
+                # pending raw + affine, materialized into the einsum in
+                # one XLA graph. A Pallas seghead kernel (qlink.
+                # seghead_quadrant) was measured a NET LOSS here: its f32
+                # output layout broke the downstream softmax-accumulate
+                # fusion (softmax-add 19.7 -> 101 ms/volume — PERF_NOTES
+                # round-9 negative result); keep the XLA form.
+                from .qfused import quadrant_apply_norm_lrelu
+                raw, mult, off = x
+                y = block_1x1(
+                    quadrant_apply_norm_lrelu(raw, mult, off), kernel)
+            else:
+                y = block_1x1(x, kernel)
             if self.emit_quadrant:
                 return y.astype(jnp.float32)
             return from_quadrant_cf(y, q, Hq, Wq,
