@@ -370,6 +370,11 @@ class ShiftUNetPlusPlus(nn.Module):
                                           level_size[i + 1][2])
                                          if pend_q else None),
                                 interpret=self.fused_interpret,
+                                # pend_q up-links stay LAZY: the consuming
+                                # quadrant kernel computes the GEMM on DMA
+                                # arrival (falls back internally if the
+                                # geometry/dtype/VMEM gate rejects)
+                                lazy=pend_q,
                                 name=f"up{z}_{k}", parent=mdl)
             if pend_q:
                 mult, off = affine_of(below, i + 1)

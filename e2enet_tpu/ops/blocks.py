@@ -410,8 +410,11 @@ class ShiftConvBlock(nn.Module):
             assert self.norm_op == "instance" and self.nonlin == "lrelu", \
                 "fused kernels bake instance-norm + lrelu"
             if self.fused_q is not None:
+                from .qfused import LazyUp
                 Q = int(np.prod(self.fused_q))
-                cin = sum(int(p.shape[2]) // Q for p in parts)
+                cin = sum(int(p.kernel.shape[-1])
+                          if isinstance(p, LazyUp)
+                          else int(p.shape[2]) // Q for p in parts)
             else:
                 cin = sum(int(p.shape[2]) for p in parts)
             kernel = self.param("kernel", he_normal_leaky(),
@@ -599,6 +602,11 @@ class TranspConv(nn.Module):
     q_in_hw: Optional[Tuple[int, int]] = None
     flips: Tuple[bool, bool, bool] = NO_FLIPS   # mirrored-equivalent op
     interpret: bool = False          # Pallas interpret mode (CPU tests)
+    # lazy: with a pending input, do NOT materialize the up-link — return
+    # a qfused.LazyUp for the consuming quadrant kernel to compute on DMA
+    # arrival (the (N,Dq,Q*C,L) tensor never hits HBM). The consumer
+    # falls back to the materialized route when unsupported.
+    lazy: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -611,8 +619,14 @@ class TranspConv(nn.Module):
             kernel = flip_transp_kernel(kernel, self.flips)
         if pending_in:
             assert self.q_out is not None and self.q_in_hw is not None
-            from .qfused import transp_conv_quadrant_from_cf
+            from .qfused import LazyUp, transp_conv_quadrant_from_cf
             raw, mult, off = x
+            if self.lazy:
+                # kernel stays f32: casts happen inside the consumers
+                # (fwd w2t -> bf16; bwd twin) so the param GRADIENT keeps
+                # the param dtype
+                return LazyUp(raw, mult.astype(jnp.float32),
+                              off.astype(jnp.float32), kernel)
             return transp_conv_quadrant_from_cf(
                 raw, mult, off, kernel, self.stride, self.q_in_hw[0],
                 self.q_in_hw[1], self.compute_dtype,

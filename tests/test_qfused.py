@@ -472,3 +472,115 @@ def test_quadrant_flip_cf_primitives(q):
         got = from_quadrant_cf(fn(xq), q, Hq, Wq, C)
         ref = jnp.flip(x, axis=axes)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_lazy_up_matches_materialized():
+    """quadrant_fused_block with a LazyUp part (up-link GEMM computed on
+    DMA arrival inside the kernel, interpret mode) == the dense path on
+    the materialized up-link tensor; grads close (the lazy backward
+    rematerializes u via the XLA twin)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from e2enet_tpu.ops.qfused import (LazyUp, quadrant_fused_block,
+                                       transp_conv_quadrant_from_cf)
+
+    q = (2, 2, 2)
+    Q = 8
+    Hq, Wq, Wqp = 8, 15, 16
+    L = Hq * Wqp
+    N, Dq = 1, 4
+    C_same, cin, C_up, CO = 8, 16, 8, 8
+    rng = np.random.RandomState(7)
+
+    def bf(shape):
+        return jnp.asarray(rng.randn(*shape), jnp.float32).astype(
+            jnp.bfloat16)
+
+    # valid quadrant parts must have zero pad columns
+    cm = (np.arange(L) % Wqp < Wq).astype(np.float32)
+    p_same = (bf((N, Dq, Q * C_same, L)) * cm).astype(jnp.bfloat16)
+    raw = bf((N, Dq, cin, L))
+    umult = jnp.asarray(rng.rand(N, cin) + 0.5, jnp.float32)
+    uoff = jnp.asarray(rng.randn(N, cin), jnp.float32)
+    ukern = jnp.asarray(rng.randn(2, 2, 2, cin, C_up) * 0.2, jnp.float32)
+    wk = jnp.asarray(rng.randn(3, 3, C_same + C_up, CO) * 0.2,
+                     jnp.float32).astype(jnp.bfloat16)
+    b = jnp.zeros((CO,), jnp.bfloat16)
+    smult = jnp.asarray(rng.rand(N, C_same) + 0.5, jnp.float32)
+    soff = jnp.asarray(rng.randn(N, C_same), jnp.float32)
+
+    def dense(p_same, raw, umult, uoff, ukern, wk, b):
+        u = transp_conv_quadrant_from_cf(raw, umult, uoff, ukern, q, Hq,
+                                         Wq, interpret=True)
+        return quadrant_fused_block([p_same, u], wk, b,
+                                    [(smult, soff), None], q, Hq, Wq,
+                                    interpret=True)
+
+    def lazy(p_same, raw, umult, uoff, ukern, wk, b):
+        lz = LazyUp(raw, umult, uoff, ukern)
+        return quadrant_fused_block([p_same, lz], wk, b,
+                                    [(smult, soff), None], q, Hq, Wq,
+                                    interpret=True)
+
+    yd, sd = dense(p_same, raw, umult, uoff, ukern, wk, b)
+    yl, sl = lazy(p_same, raw, umult, uoff, ukern, wk, b)
+    assert yl.shape == yd.shape and yl.dtype == yd.dtype
+    np.testing.assert_allclose(np.asarray(yl, np.float32),
+                               np.asarray(yd, np.float32),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(sl), np.asarray(sd),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss(fn, *args):
+        y, stats = fn(*args)
+        return (jnp.sum(y.astype(jnp.float32) ** 2)
+                + jnp.sum(stats ** 2) * 1e-3)
+
+    gd = jax.grad(lambda *a: loss(dense, *a),
+                  argnums=(0, 1, 2, 3, 4, 5, 6))(
+        p_same, raw, umult, uoff, ukern, wk, b)
+    gl = jax.grad(lambda *a: loss(lazy, *a),
+                  argnums=(0, 1, 2, 3, 4, 5, 6))(
+        p_same, raw, umult, uoff, ukern, wk, b)
+    for a, bb in zip(gl, gd):
+        sc = max(1.0, float(np.abs(np.asarray(bb, np.float32)).max()))
+        np.testing.assert_allclose(np.asarray(a, np.float32) / sc,
+                                   np.asarray(bb, np.float32) / sc,
+                                   rtol=0.05, atol=0.05)
+
+
+def test_lazy_up_f32_falls_back():
+    """f32 parts reject the lazy kernel; the internal fallback must
+    reproduce the dense path exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+    from e2enet_tpu.ops.qfused import (LazyUp, quadrant_fused_block,
+                                       transp_conv_quadrant_from_cf)
+
+    q = (2, 2, 2)
+    Hq, Wq, Wqp = 8, 15, 16
+    L = Hq * Wqp
+    N, Dq, cin, C_up, CO = 1, 4, 8, 8, 8
+    rng = np.random.RandomState(8)
+    cm = (np.arange(L) % Wqp < Wq).astype(np.float32)
+    p_same = jnp.asarray(rng.randn(N, Dq, 8 * 8, L) * cm, jnp.float32)
+    raw = jnp.asarray(rng.randn(N, Dq, cin, L), jnp.float32)
+    umult = jnp.asarray(rng.rand(N, cin) + 0.5, jnp.float32)
+    uoff = jnp.asarray(rng.randn(N, cin), jnp.float32)
+    ukern = jnp.asarray(rng.randn(2, 2, 2, cin, C_up) * 0.2, jnp.float32)
+    wk = jnp.asarray(rng.randn(3, 3, 8 + C_up, CO) * 0.2, jnp.float32)
+    b = jnp.zeros((CO,), jnp.float32)
+    smult = jnp.asarray(rng.rand(N, 8) + 0.5, jnp.float32)
+    soff = jnp.asarray(rng.randn(N, 8), jnp.float32)
+
+    u = transp_conv_quadrant_from_cf(raw, umult, uoff, ukern, q, Hq, Wq,
+                                     compute_dtype=jnp.float32,
+                                     interpret=True)
+    yd, _ = quadrant_fused_block([p_same, u], wk, b,
+                                 [(smult, soff), None], q, Hq, Wq,
+                                 interpret=True)
+    yl, _ = quadrant_fused_block([p_same, LazyUp(raw, umult, uoff, ukern)],
+                                 wk, b, [(smult, soff), None], q, Hq, Wq,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(yl), np.asarray(yd))
