@@ -104,6 +104,7 @@ def main():
                                      quadrant_meta=qmeta,
                                      prob_dtype=(jnp.bfloat16
                                                  if args.accum != "f32"
+                                                 and mirror_fns is None
                                                  else None),
                                      mirror_apply_fns=mirror_fns)
 

@@ -206,11 +206,25 @@ def total_positives_test(test=None, reference=None, confusion_matrix=None,
     return int(tp + fp)
 
 
+def total_negatives_test(test=None, reference=None, confusion_matrix=None,
+                         **kwargs):
+    cm = _cm(test, reference, confusion_matrix)
+    tp, fp, tn, fn = cm.get_matrix()
+    return int(tn + fn)
+
+
 def total_positives_reference(test=None, reference=None,
                               confusion_matrix=None, **kwargs):
     cm = _cm(test, reference, confusion_matrix)
     tp, fp, tn, fn = cm.get_matrix()
     return int(tp + fn)
+
+
+def total_negatives_reference(test=None, reference=None,
+                              confusion_matrix=None, **kwargs):
+    cm = _cm(test, reference, confusion_matrix)
+    tp, fp, tn, fn = cm.get_matrix()
+    return int(tn + fp)
 
 
 # ------------------------------------------------------- surface distances
@@ -329,7 +343,11 @@ ALL_METRICS = {
     "True Negative Rate": true_negative_rate,
     "False Discovery Rate": false_discovery_rate,
     "Total Positives Test": total_positives_test,
+    "Total Negatives Test": total_negatives_test,
     "Total Positives Reference": total_positives_reference,
+    # lowercase 't' matches the reference registry key verbatim
+    # (evaluation/metrics.py:883)
+    "total Negatives Reference": total_negatives_reference,
     "fscore": fscore,
     "surface_dice_at_tolerance": surface_dice_at_tolerance,
 }

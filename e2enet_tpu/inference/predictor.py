@@ -198,8 +198,10 @@ def predict_case(bundle: ModelBundle, data: np.ndarray,
                   if (flip_free and do_tta) else None)
     accum = jnp.float16 if all_in_gpu else jnp.float32
     # fast mode also keeps the per-pass TTA probs bf16 (for bf16 models);
-    # the logits heads emit f32 regardless, so this is an explicit knob
-    prob_dtype = (jnp.bfloat16 if all_in_gpu
+    # the logits heads emit f32 regardless, so this is an explicit knob.
+    # Under flip-free TTA there is no unflip chain — prob_dtype is a no-op
+    # there, so pass None to avoid the sliding-window guard warning.
+    prob_dtype = (jnp.bfloat16 if all_in_gpu and mirror_fns is None
                   and bundle.network.compute_dtype == jnp.bfloat16
                   else None)
     key = (bundle.patch_size, do_tta, num_devices, all_in_gpu,

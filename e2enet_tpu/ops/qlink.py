@@ -19,9 +19,9 @@ parity tests (tests/test_training_parity.py) pinning the same program.
 
 Reference semantics: the transposed-conv up-link, max-pool down-link and
 1x1 seg heads of Generic_UNetPlusPlus
-(/root/reference/e2enet/network_architecture/generic_UNetPlusPlus.py:
-377-422 up/concat wiring, 432-441 seg_outputs) — relayouted to the
-quadrant channels-first flat layout of ops/qfused.py.
+(/root/reference/e2enet/network_architecture/unetpp_d.py:449-478
+up/concat nest wiring, :394-400 and :480-483 seg_outputs) — relayouted
+to the quadrant channels-first flat layout of ops/qfused.py.
 """
 import functools
 from typing import Tuple
@@ -193,7 +193,10 @@ def _downlink_kernel(x_ref, m_ref, o_ref, sel_ref, cm_ref, y_ref, *,
             blk = x[k * C:(k + 1) * C].astype(jnp.float32)
             bmax = jnp.maximum(bmax, blk)
             bmin = jnp.minimum(bmin, blk)
-        pick = sel * bmax + (1.0 - sel) * bmin       # exact select
+        # jnp.where (not sel*bmax + (1-sel)*bmin) so a +/-inf on the
+        # unselected branch can't produce 0*inf=NaN — matches the XLA
+        # twin's select semantics exactly.
+        pick = jnp.where(sel > 0, bmax, bmin)
         a = pick * m + o
         a = jnp.maximum(a, a * LRELU_SLOPE)
         a = a * cm_ref[...]

@@ -105,6 +105,20 @@ def bucket_num_tiles(n: int, buckets=(1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
     return int(2 ** np.ceil(np.log2(n)))
 
 
+def _check_prob_dtype(prob_dtype, mirror_apply_fns):
+    """prob_dtype only affects the per-pass flip path's unflip chain; under
+    flip-free TTA (mirror_apply_fns) there is no unflip chain — the softmax
+    fuses straight into the f32 mirror sum. Warn instead of silently
+    accepting the knob (round-2 advisor finding)."""
+    if prob_dtype is not None and mirror_apply_fns is not None:
+        import warnings
+        warnings.warn(
+            "prob_dtype is a no-op under flip-free TTA (mirror_apply_fns); "
+            "ignoring it", stacklevel=3)
+        return None
+    return prob_dtype
+
+
 def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
                          num_classes: int,
                          mirror_axes: Tuple[int, ...] = (0, 1, 2),
@@ -144,6 +158,8 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
       n_valid: scalar int32, number of real tiles
     -> (probs_sum (X, Y, Z, num_classes), weights (X, Y, Z)) accumulators.
     """
+    prob_dtype = _check_prob_dtype(prob_dtype, mirror_apply_fns)
+
     @jax.jit
     def run(params, volume, starts, n_valid):
         tile_ids = jnp.arange(starts.shape[0], dtype=jnp.int32)
@@ -179,6 +195,8 @@ def make_tiled_predictor_sharded(apply_fn: Callable,
     spread evenly across devices.
     """
     from jax.sharding import PartitionSpec as P
+
+    prob_dtype = _check_prob_dtype(prob_dtype, mirror_apply_fns)
 
     # the single-device accumulation logic runs per shard via shard_map
     def shard_fn(params, volume, starts, n_valid, tile_ids):
