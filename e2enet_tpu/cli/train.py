@@ -103,6 +103,22 @@ def main(args=None):
     parser.add_argument("--final_density", type=float, default=0.05)
     parser.add_argument("--update_frequency", type=int, default=1200)
     parser.add_argument("--fix", type=str2bool, default=False)
+    parser.add_argument("--prune_mode", type=str, default="local",
+                        choices=("local", "global"),
+                        help="local: per-layer density-preserving "
+                        "truncate_weights; global: cross-layer prune/grow "
+                        "with the gradual density->final_density schedule")
+    parser.add_argument("--init-prune-epoch", dest="init_prune_epoch",
+                        type=int, default=0)
+    parser.add_argument("--final-prune-epoch", dest="final_prune_epoch",
+                        type=int, default=1000)
+    parser.add_argument("--multiplier", type=int, default=1,
+                        help="GMP epoch-window multiplier")
+    parser.add_argument("--granularity", type=str, default="auto",
+                        choices=("auto", "kernel", "element", "row"),
+                        help="DSFF mask granularity; 'row' = TPU-native "
+                        "structured mode (whole fusion input channels — "
+                        "sparse inference kernels can cash the FLOP cut)")
     a = parser.parse_args(args)
 
     task = a.task
@@ -119,7 +135,10 @@ def main(args=None):
             sparse=True, sparse_init=a.sparse_init, growth=a.growth,
             death=a.death, death_rate=a.death_rate, density=a.density,
             final_density=a.final_density,
-            update_frequency=a.update_frequency, fix=a.fix)
+            update_frequency=a.update_frequency, fix=a.fix,
+            prune_mode=a.prune_mode, init_prune_epoch=a.init_prune_epoch,
+            final_prune_epoch=a.final_prune_epoch, multiplier=a.multiplier,
+            granularity=a.granularity)
 
     cascade = a.network == "3d_cascade_fullres"
     from ..training.variants import resolve_variant

@@ -202,18 +202,50 @@ def make_eval_step(model, ds_weights, batch_dice: bool = True,
     return jax.jit(eval_step)
 
 
-def make_mask_update_step(growth_mode: str = "random"):
-    """Jitted DSFF truncate_weights: (state, death_rate, grads?) -> state
-    with new masks applied to params + momentum."""
+def make_mask_update_step(growth_mode: str = "random",
+                          prune_mode: str = "local",
+                          granularity: str = None):
+    """Jitted DSFF truncate_weights: (state, death_rate, grads?,
+    regrow_ratio?) -> state with new masks applied to params + momentum.
+    prune_mode 'local' = per-layer truncate_weights; 'global' = cross-layer
+    truncate_weights_global driven by the gradual-density schedule's
+    regrow_ratio (pass it as a jnp scalar to avoid recompiles)."""
+    assert prune_mode in ("local", "global"), prune_mode
 
-    def update(state: TrainState, death_rate, grads=None):
+    def update(state: TrainState, death_rate, grads=None,
+               regrow_ratio=1.0):
         rng, sub = jax.random.split(state.rng)
-        new_masks, _stats = dsff.death_growth_update(
-            state.params, grads, state.masks, sub, death_rate,
-            growth_mode=growth_mode)
+        if prune_mode == "global":
+            new_masks, _stats = dsff.truncate_weights_global(
+                state.params, grads, state.masks, sub, death_rate,
+                regrow_ratio)
+        else:
+            new_masks, _stats = dsff.death_growth_update(
+                state.params, grads, state.masks, sub, death_rate,
+                growth_mode=growth_mode, granularity=granularity)
         params = dsff.apply_masks(state.params, new_masks)
         momentum = mask_opt_state(state.momentum, new_masks)
         return state.replace(params=params, momentum=momentum,
                              masks=new_masks, rng=rng)
 
     return jax.jit(update)
+
+
+def make_grad_step(model, ds_weights, batch_dice: bool = True,
+                   loss_name: str = "dc_ce"):
+    """Jitted plain gradient of the DS loss — the analogue of the
+    reference's weight.grad that kernel_grad_growth / the global grow
+    phase read (get_gradient_for_weights). Used by the trainer to feed
+    DSFF updates that need gradients (growth='gradient' or
+    prune_mode='global')."""
+    weights = [float(w) for w in ds_weights]
+
+    def grad_step(params, data, targets):
+        def loss_fn(p):
+            outs = model.apply({"params": p}, data, do_ds=True)
+            return deep_supervision_loss(outs, targets, weights,
+                                         batch_dice=batch_dice,
+                                         loss_name=loss_name)
+        return jax.grad(loss_fn)(params)
+
+    return jax.jit(grad_step)

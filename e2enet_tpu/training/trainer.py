@@ -167,14 +167,45 @@ class TPUTrainer:
             jax.random.PRNGKey(self.seed), x0)["params"]
 
         masks = None
+        self.fired_masks = None
         if self.dsff_config is not None and self.dsff_config.sparse:
-            mode = ("dense" if self.dsff_config.sparse_init == "dense"
-                    else self.dsff_config.sparse_init)
-            assert mode in ("uniform", "dense"), \
-                f"sparse_init '{mode}' not supported (uniform/dense)"
-            masks = dsff.init_masks(params, self.dsff_config.density,
-                                    jax.random.PRNGKey(self.seed + 1),
-                                    mode=mode)
+            cfg = self.dsff_config
+            mode = cfg.sparse_init
+            rng1 = jax.random.PRNGKey(self.seed + 1)
+            if cfg.granularity == "row":
+                assert mode == "uniform", \
+                    "row granularity supports sparse_init='uniform'"
+                masks = dsff.init_masks_row(params, cfg.density, rng1)
+            elif mode in ("uniform", "dense"):
+                # kernel-granular engine (core_channel.py)
+                masks = dsff.init_masks(params, cfg.density, rng1, mode=mode)
+            elif mode in ("uniform_ori", "ERK"):
+                # element-granular engine (core.py)
+                masks = dsff.init_masks_element(params, cfg.density, rng1,
+                                                mode=mode)
+            elif mode == "GMP":
+                masks = dsff.init_masks_gmp(params)
+            elif mode == "lottery_ticket":
+                masks = dsff.init_masks_lottery(params, cfg.density)
+            else:
+                raise ValueError(
+                    f"sparse_init '{mode}' not supported from the trainer "
+                    "(uniform/dense/uniform_ori/ERK/GMP/lottery_ticket; "
+                    "snip and GraSP need a data batch — use "
+                    "dsff.init_masks_element / init_masks_grasp directly)")
+            if (cfg.prune_mode == "local" and mode != "GMP"
+                    and cfg.final_density != cfg.density):
+                self.logger.log(
+                    "NOTE: final_density has no effect with "
+                    "prune_mode='local' (the per-layer engine is density-"
+                    "preserving, as in the reference); use "
+                    "--prune_mode global for the gradual-density schedule")
+            # ITOP fired-mask bookkeeping (core_channel.py:861-876).
+            # COPIES: state.masks buffers get donated by the jitted train
+            # step — aliasing them here would leave deleted arrays behind.
+            self.fired_masks = {k: jnp.array(v, copy=True)
+                                for k, v in masks.items()}
+            self._regrow_ratio = 1.01   # reference initial (:97)
             self.t_max = self.max_num_epochs * self.num_batches_per_epoch
         self.state = create_train_state(params, masks, seed=self.seed,
                                         optimizer=self.optimizer)
@@ -208,8 +239,22 @@ class TPUTrainer:
                                         self.batch_dice,
                                         loss_name=self.loss_name)
         if masks is not None:
+            cfg = self.dsff_config
+            self.mask_granularity = (
+                cfg.granularity if cfg.granularity != "auto"
+                else dsff.mask_granularity(masks, params))
             self.mask_update = make_mask_update_step(
-                self.dsff_config.growth)
+                cfg.growth, prune_mode=cfg.prune_mode,
+                granularity=self.mask_granularity)
+            # the reference reads weight.grad for gradient-based growth
+            # (kernel_grad_growth / the global grow phase); we recompute
+            # grads on the update step's batch when needed
+            self._dsff_grad_step = None
+            if cfg.growth == "gradient" or cfg.prune_mode == "global":
+                from .train_state import make_grad_step
+                self._dsff_grad_step = make_grad_step(
+                    self.network, self.ds_weights, self.batch_dice,
+                    loss_name=self.loss_name)
 
         if self.device_augment:
             from ..ops.device_augment import make_device_augmenter
@@ -355,7 +400,7 @@ class TPUTrainer:
         if do_backprop:
             self.state, metrics = self.train_step(self.state, data, targets,
                                                   jnp.float32(lr))
-            self._maybe_dsff_step()
+            self._maybe_dsff_step(data, targets)
             return metrics["loss"]
         m = self.eval_step(self.state.params, data, targets)
         if run_online_evaluation:
@@ -364,21 +409,70 @@ class TPUTrainer:
             self._online_fn.append(m["fn"])
         return m["loss"]
 
-    def _maybe_dsff_step(self):
+    def _maybe_dsff_step(self, data=None, targets=None):
         if self.state.masks is None or self.dsff_config.fix:
             return
+        cfg = self.dsff_config
+        if cfg.sparse_init == "GMP":
+            return  # GMP prunes per epoch (_maybe_gmp_epoch_prune)
         step = int(self.state.step)
-        freq = self.dsff_config.update_frequency
+        freq = cfg.update_frequency
         if freq and step % freq == 0:
             dr = dsff.cosine_death_rate(jnp.asarray(step, jnp.float32),
-                                        self.dsff_config.death_rate,
-                                        self.t_max)
+                                        cfg.death_rate, self.t_max)
             grads = None
-            self.state = self.mask_update(self.state, dr, grads)
+            if self._dsff_grad_step is not None and data is not None:
+                grads = self._dsff_grad_step(self.state.params, data,
+                                             targets)
+            if cfg.prune_mode == "global":
+                # gradual-density schedule (cal_grow_schedule): shrink the
+                # regrow budget so density decays toward final_density
+                tw = float(sum(m.size for m in self.state.masks.values()))
+                tn = float(sum(jnp.sum(m)
+                               for m in self.state.masks.values()))
+                regrow = dsff.grow_schedule_ratio(
+                    step, freq, self.num_batches_per_epoch, cfg.density,
+                    cfg.final_density, float(dr), tw, tn, tn / tw,
+                    self._regrow_ratio, cfg.init_prune_epoch,
+                    cfg.final_prune_epoch)
+                self._regrow_ratio = regrow
+                self.state = self.mask_update(self.state, dr, grads,
+                                              jnp.float32(regrow))
+            else:
+                self.state = self.mask_update(self.state, dr, grads)
+            self.fired_masks = dsff.update_fired(self.fired_masks,
+                                                 self.state.masks)
+            itop = float(dsff.fired_ratio(self.fired_masks))
             dens = float(dsff.masks_density(self.state.masks,
                                             self.state.params))
+            extra = (f" regrow_ratio={self._regrow_ratio:.4f}"
+                     if cfg.prune_mode == "global" else "")
             self.logger.log(f"DSFF update at step {step}: death_rate="
-                            f"{float(dr):.4f} density={dens:.4f}")
+                            f"{float(dr):.4f} density={dens:.4f} "
+                            f"itop_rate={itop:.4f}{extra}")
+
+    def _maybe_gmp_epoch_prune(self):
+        """GMP (truncate_weights_GMP, core_channel.py:436-467): per-epoch
+        cubic magnitude-prune ramp toward (1 - density); no regrow."""
+        if self.state.masks is None or not self.dsff_config.sparse:
+            return
+        cfg = self.dsff_config
+        if cfg.sparse_init != "GMP" or cfg.fix:
+            return
+        new_masks = dsff.gmp_prune_masks(
+            self.state.params, self.state.masks, self.epoch, cfg.density,
+            cfg.init_prune_epoch, cfg.final_prune_epoch, cfg.multiplier)
+        params = dsff.apply_masks(self.state.params, new_masks)
+        from .train_state import mask_opt_state
+        momentum = mask_opt_state(self.state.momentum, new_masks)
+        self.state = self.state.replace(params=params, momentum=momentum,
+                                        masks=new_masks)
+        self.fired_masks = dsff.update_fired(self.fired_masks,
+                                             self.state.masks)
+        dens = float(dsff.masks_density(self.state.masks,
+                                        self.state.params))
+        self.logger.log(f"GMP prune at epoch {self.epoch}: "
+                        f"density={dens:.4f}")
 
     def finish_online_evaluation(self):
         tp = np.sum([np.asarray(t) for t in self._online_tp], 0)
@@ -419,6 +513,7 @@ class TPUTrainer:
             tr_loss = float(np.mean([np.asarray(l) for l in losses]))
             self.all_tr_losses.append(tr_loss)
             self.logger.log("train loss : %.4f" % tr_loss)
+            self._maybe_gmp_epoch_prune()
 
             self._online_tp, self._online_fp, self._online_fn = [], [], []
             val_losses = []
@@ -478,6 +573,10 @@ class TPUTrainer:
             "best_val_eval_criterion_MA": self.best_val_eval_criterion_MA,
             "val_eval_criterion_MA": self.val_eval_criterion_MA,
         }
+        if getattr(self, "fired_masks", None) is not None:
+            metadata["fired_masks"] = {
+                "/".join(k): np.asarray(v)
+                for k, v in self.fired_masks.items()}
         save_checkpoint(self.checkpoint_path(which), self.state, self.epoch,
                         metadata, sidecar)
         self.logger.log(f"saved checkpoint {which}")
@@ -496,6 +595,12 @@ class TPUTrainer:
         self.best_val_eval_criterion_MA = metadata.get(
             "best_val_eval_criterion_MA")
         self.val_eval_criterion_MA = metadata.get("val_eval_criterion_MA")
+        if metadata.get("fired_masks") is not None:
+            self.fired_masks = {tuple(k.split("/")): jnp.asarray(v)
+                                for k, v in metadata["fired_masks"].items()}
+        elif state.masks is not None:
+            self.fired_masks = {k: jnp.array(v, copy=True)
+                                for k, v in state.masks.items()}
         self.logger.log(f"restored checkpoint {path} at epoch {epoch}")
 
     def plot_progress(self):

@@ -233,3 +233,221 @@ def test_dsff_kernel_death_matches_reference():
 
         np.testing.assert_array_equal(ours_alive, ref_alive)
         assert int(num_death) >= int(prune_num) or density < 1.0
+
+
+# ---------------------------------------------------------------------------
+# DSFF gradual-density schedule / global prune-grow / GMP / lottery parity
+# (core_channel.py:350-386 cal_grow_schedule, :469-553
+# truncate_weights_global, :436-467 truncate_weights_GMP, :119-139 lottery)
+# ---------------------------------------------------------------------------
+
+def _masking_stub(torch, weights_t, masks_t):
+    """A Masking object bypassing __init__ (the real one wants CUDA),
+    carrying a tiny module whose parameter names hit the 'loc' filter."""
+    from e2enet.training.network_training.sparselearning.core_channel import (
+        Masking)
+    import collections
+    import torch.nn as nn
+
+    class _Mod(nn.Module):
+        def __init__(self):
+            super().__init__()
+            for i, w in enumerate(weights_t):
+                self.register_parameter(f"loc{i}", nn.Parameter(w.clone()))
+
+    mod = _Mod()
+    msk = Masking.__new__(Masking)
+    msk.modules = [mod]
+    msk.module = mod
+    msk.masks = {f"loc{i}": m.clone() for i, m in enumerate(masks_t)}
+    msk.name2nonzeros = {}
+    msk.name2zeros = {}
+    msk.pruned_masks = {}
+    msk.regrowed_masks = {}
+    msk.num_remove = {}
+    msk.num_death = {}
+
+    class _Opt:
+        state = collections.defaultdict(dict)
+    msk.optimizer = _Opt()
+    return msk, mod
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+def test_grow_schedule_matches_reference():
+    """regrow_ratio trajectory identity at 3 sparsity levels: the cubic
+    gradual-density ramp (cal_grow_schedule, core_channel.py:350-386)."""
+    torch = pytest.importorskip("torch")
+    stub_reference_deps()
+    from e2enet_tpu.training.dsff import grow_schedule_ratio
+
+    rng = np.random.RandomState(7)
+    update_freq, iters_per_epoch = 5, 10
+    for density, final_density in [(0.3, 0.05), (0.5, 0.2), (0.2, 0.1)]:
+        w = torch.from_numpy(rng.randn(12, 8, 1, 3, 3).astype(np.float32))
+        m = (torch.rand(12, 8, 1, 3, 3) < density).float()
+        msk, mod = _masking_stub(torch, [w], [m])
+        msk.prune_every_k_steps = update_freq
+
+        class _Args:
+            pass
+        _Args.density = density
+        _Args.final_density = final_density
+        _Args.init_prune_epoch = 0
+        _Args.final_prune_epoch = 8
+        msk.args = _Args
+        msk.loader = list(range(iters_per_epoch))
+        msk.death_rate = 0.5
+        msk.regrow_ratio = 1.01
+        msk.curr_density = float(m.sum() / m.numel())
+        ours_prev = 1.01
+        for steps in range(update_freq, update_freq * 20, update_freq):
+            msk.steps = steps
+            msk.cal_grow_schedule()
+            ours = grow_schedule_ratio(
+                steps, update_freq, iters_per_epoch, density, final_density,
+                msk.death_rate, float(m.numel()), float(m.sum()),
+                msk.curr_density, ours_prev,
+                init_prune_epoch=0, final_prune_epoch=8)
+            assert abs(ours - msk.regrow_ratio) < 1e-9, (
+                f"steps={steps} d={density}: {ours} vs {msk.regrow_ratio}")
+            ours_prev = ours
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+def test_global_prune_grow_matches_reference(monkeypatch):
+    """truncate_weights_global identity (core_channel.py:469-553): same
+    weights + masks + grads + the SAME uniform draws -> identical new
+    masks (global magnitude prune, Bernoulli-allocated gradient regrow)."""
+    torch = pytest.importorskip("torch")
+    stub_reference_deps()
+    from e2enet_tpu.training import dsff
+
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+    rng = np.random.RandomState(3)
+    shapes = [(10, 6, 1, 3, 3), (8, 12, 1, 3, 3)]
+    death_rate, regrow_ratio, density = 0.4, 0.9, 0.4
+
+    ws, ms, gs, us = [], [], [], []
+    for s in shapes:
+        m = (rng.rand(*s) < density).astype(np.float32)
+        w = rng.randn(*s).astype(np.float32) * m     # dead weights at 0
+        g = rng.randn(*s).astype(np.float32)
+        u = rng.rand(*s).astype(np.float32)
+        ws.append(w); ms.append(m); gs.append(g); us.append(u)
+
+    # ---- reference
+    wts = [torch.from_numpy(w) for w in ws]
+    msk, mod = _masking_stub(torch, wts,
+                             [torch.from_numpy(m) for m in ms])
+    for i, (name, p) in enumerate(mod.named_parameters()):
+        p.grad = torch.from_numpy(gs[i])
+    msk.death_rate = death_rate
+    msk.regrow_ratio = regrow_ratio
+    msk.name2nonzeros = {}
+    draws = iter([torch.from_numpy(np.concatenate(
+        [u.reshape(-1) for u in us]))])
+    monkeypatch.setattr(torch, "rand",
+                        lambda *shape, **k: next(draws).reshape(*shape)
+                        if len(shape) == 1 else torch.empty(*shape).uniform_())
+    msk.truncate_weights_global()
+    ref_masks = [msk.masks[f"loc{i}"].numpy() for i in range(len(shapes))]
+
+    # ---- ours: torch (out,in,kd,kh,kw) -> our conv layout (kh,kw,in,out)
+    # is irrelevant here (elementwise); keep torch layout via fake paths
+    params = {f"loc{i}": {"kernel": jnp.asarray(np.transpose(
+        w, (2, 3, 4, 1, 0)))} for i, w in enumerate(ws)}
+    grads = {f"loc{i}": {"kernel": jnp.asarray(np.transpose(
+        g, (2, 3, 4, 1, 0)))} for i, g in enumerate(gs)}
+    masks = {(f"loc{i}", "kernel"): jnp.asarray(np.transpose(
+        m, (2, 3, 4, 1, 0))) for i, m in enumerate(ms)}
+    uts = {(f"loc{i}", "kernel"): jnp.asarray(np.transpose(
+        u, (2, 3, 4, 1, 0))) for i, u in enumerate(us)}
+    new_masks, stats = dsff.truncate_weights_global(
+        params, grads, masks, jax.random.PRNGKey(0),
+        jnp.float32(death_rate), jnp.float32(regrow_ratio),
+        _uniform_draws=uts)
+    for i in range(len(shapes)):
+        ours = np.transpose(np.asarray(new_masks[(f"loc{i}", "kernel")]),
+                            (4, 3, 0, 1, 2))
+        np.testing.assert_array_equal(ours, ref_masks[i])
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+def test_gmp_prune_matches_reference(monkeypatch):
+    """truncate_weights_GMP trajectory identity over a 3-epoch ramp
+    (core_channel.py:436-467): same weights -> identical masks and
+    density trajectory at each epoch."""
+    torch = pytest.importorskip("torch")
+    stub_reference_deps()
+    from e2enet_tpu.training import dsff
+
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+    rng = np.random.RandomState(9)
+    shapes = [(6, 4, 1, 3, 3), (4, 8, 1, 3, 3)]
+    density = 0.25
+    ws = [rng.randn(*s).astype(np.float32) for s in shapes]
+
+    msk, mod = _masking_stub(
+        torch, [torch.from_numpy(w) for w in ws],
+        [torch.ones(s) for s in shapes])
+
+    class _Args:
+        multiplier = 1
+        init_prune_epoch = 0
+        final_prune_epoch = 3
+    msk.args = _Args
+    msk.density = density
+
+    params = {f"loc{i}": {"kernel": jnp.asarray(np.transpose(
+        w, (2, 3, 4, 1, 0)))} for i, w in enumerate(ws)}
+    masks = {(f"loc{i}", "kernel"): jnp.ones(
+        np.transpose(ws[i], (2, 3, 4, 1, 0)).shape, jnp.float32)
+        for i in range(len(shapes))}
+
+    for epoch in range(4):
+        msk.truncate_weights_GMP(epoch)
+        masks = dsff.gmp_prune_masks(params, masks, epoch, density,
+                                     init_prune_epoch=0,
+                                     final_prune_epoch=3, multiplier=1)
+        params = dsff.apply_masks(params, masks)
+        for i in range(len(shapes)):
+            ours = np.transpose(
+                np.asarray(masks[(f"loc{i}", "kernel")]), (4, 3, 0, 1, 2))
+            np.testing.assert_array_equal(
+                ours, msk.masks[f"loc{i}"].numpy(),
+                err_msg=f"epoch {epoch} layer {i}")
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+def test_lottery_init_matches_reference(monkeypatch):
+    """lottery_ticket init identity (core_channel.py:119-139): global
+    top-|w| threshold across masked layers."""
+    torch = pytest.importorskip("torch")
+    stub_reference_deps()
+    from e2enet_tpu.training import dsff
+
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+    rng = np.random.RandomState(13)
+    shapes = [(6, 4, 1, 3, 3), (8, 10, 1, 3, 3)]
+    density = 0.3
+    ws = [rng.randn(*s).astype(np.float32) for s in shapes]
+
+    msk, mod = _masking_stub(
+        torch, [torch.from_numpy(w) for w in ws],
+        [torch.zeros(s) for s in shapes])
+    msk.density = density
+    msk.init(mode='lottery_ticket', density=density)
+    ref = [msk.masks[f"loc{i}"].numpy() for i in range(len(shapes))]
+
+    params = {f"loc{i}": {"kernel": jnp.asarray(np.transpose(
+        w, (2, 3, 4, 1, 0)))} for i, w in enumerate(ws)}
+    ours = dsff.init_masks_lottery(params, density)
+    for i in range(len(shapes)):
+        got = np.transpose(np.asarray(ours[(f"loc{i}", "kernel")]),
+                           (4, 3, 0, 1, 2))
+        np.testing.assert_array_equal(got, ref[i])
