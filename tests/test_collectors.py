@@ -117,3 +117,100 @@ def test_write_plans_summary(tmp_path):
     lines = open(csv).read().strip().splitlines()
     assert len(lines) == 2
     assert "128.000,128.000,128.000" in lines[1]
+
+
+def test_figure_out_what_to_submit_with_ensembling(tmp_path, monkeypatch):
+    """Full submission decision incl. AUTOMATIC pairwise-ensemble build +
+    score + postprocessing determination (figure_out_what_to_submit.py:47+,
+    ensemble.py:39): two tiny trained configs with saved validation
+    softmax -> the ensemble is constructed, scored, ranked, and the
+    decision JSON / prediction_commands.txt / summary.csv are written."""
+    import pickle
+    from e2enet_tpu.evaluation.model_selection import (
+        figure_out_what_to_submit)
+    from e2enet_tpu.io.nifti import NiftiImage, read_nifti, write_nifti
+
+    monkeypatch.setenv("RESULTS_FOLDER", str(tmp_path / "results"))
+    root = str(tmp_path / "results" / "nnUNet")   # paths.get_results_dir
+    task, trainer = "Task042_Tiny", "TPUTrainer__nnUNetPlansv2.1"
+    rng = np.random.RandomState(0)
+    shape = (6, 7, 8)
+    cases = ["case_000", "case_001"]
+
+    gt_dir = tmp_path / "gt"
+    maybe_mkdir_p(str(gt_dir))
+    gts = {}
+    for c in cases:
+        gt = (rng.rand(*shape) < 0.35).astype(np.uint8)
+        gt[2:4, 2:4, 2:4] = 2
+        gts[c] = gt
+        write_nifti(str(gt_dir / f"{c}.nii.gz"),
+                    NiftiImage(array=gt, spacing=(1, 1, 1),
+                               origin=(0, 0, 0),
+                               direction=tuple(np.eye(3).flatten())))
+
+    props = {"size_after_cropping": shape,
+             "original_size_of_raw_data": shape,
+             "original_spacing": (1.0, 1.0, 1.0),
+             "spacing_after_resampling": (1.0, 1.0, 1.0),
+             "crop_bbox": None,
+             "itk_spacing": (1, 1, 1), "itk_origin": (0, 0, 0),
+             "itk_direction": tuple(np.eye(3).flatten())}
+
+    from e2enet_tpu.evaluation.evaluator import aggregate_scores
+
+    def make_config(net, pflip):
+        base = os.path.join(root, net, task, trainer)
+        val = os.path.join(base, "fold_0", "validation_raw")
+        maybe_mkdir_p(val)
+        pairs = []
+        for c in cases:
+            lab = gts[c].copy()
+            flip = rng.rand(*shape) < pflip           # corrupted voxels
+            lab[flip] = (lab[flip] + 1) % 3
+            soft = np.stack([(lab == k).astype(np.float32) * 0.9 + 0.05
+                             for k in range(3)])
+            soft /= soft.sum(0, keepdims=True)
+            np.savez_compressed(os.path.join(val, f"{c}.npz"),
+                                softmax=soft.astype(np.float16))
+            with open(os.path.join(val, f"{c}.pkl"), "wb") as f:
+                pickle.dump(props, f)
+            pred = soft.argmax(0).astype(np.uint8)
+            write_nifti(os.path.join(val, f"{c}.nii.gz"),
+                        NiftiImage(array=pred, spacing=(1, 1, 1),
+                                   origin=(0, 0, 0),
+                                   direction=tuple(np.eye(3).flatten())))
+            pairs.append([os.path.join(val, f"{c}.nii.gz"),
+                          str(gt_dir / f"{c}.nii.gz")])
+        aggregate_scores(pairs, labels=[0, 1, 2],
+                         json_output_file=os.path.join(val, "summary.json"),
+                         num_threads=1)
+        return base
+
+    make_config("3d_fullres", pflip=0.02)
+    make_config("2d", pflip=0.30)
+
+    report = figure_out_what_to_submit(
+        task, networks=("3d_fullres", "2d"), trainer_plan=trainer,
+        folds=(0,), gt_folder=str(gt_dir))
+
+    ens_name = f"ensemble_2d__{trainer}--3d_fullres__{trainer}"
+    assert ens_name in report["candidates"], report["candidates"].keys()
+    assert set(report["ranking"]) == {"3d_fullres", "2d", ens_name}
+    assert report["best"] in report["ranking"]
+    # the low-noise config must beat the high-noise one
+    assert (report["candidates"]["3d_fullres"]["mean_fg_dice"]
+            > report["candidates"]["2d"]["mean_fg_dice"])
+    ens_base = os.path.join(root, "ensembles", task, ens_name)
+    assert os.path.isfile(os.path.join(ens_base, "ensembled_raw",
+                                       "summary.json"))
+    # postprocessing determination ran on the ensemble
+    assert os.path.isfile(os.path.join(ens_base, "postprocessing.json"))
+    sf = os.path.join(root, "ensembles", task)
+    assert os.path.isfile(os.path.join(sf, "prediction_commands.txt"))
+    csv = open(os.path.join(sf, "summary.csv")).read().splitlines()
+    assert csv[0] == "model,class1,class2,average"
+    assert len(csv) == 4
+    # the decision JSON exists and round-trips
+    rep2 = load_json(os.path.join(root, f"model_selection_{task}.json"))
+    assert rep2["best"] == report["best"]
