@@ -45,6 +45,14 @@ def main():
                     help="mirror TTA via statically mirrored operators "
                          "(no data flips/unflips; exact same math). "
                          "0 = per-pass flip+select TTA")
+    ap.add_argument("--sparse_density", type=float, default=None,
+                    help="bench the DSFF row-sparse inference path: build "
+                         "a row mask at this density (the reference "
+                         "training recipe is --density 0.2, README.md:44-"
+                         "49), bake w*mask, and run with the static "
+                         "sparse plan (models/sparse_plan.py). The JSON "
+                         "line then reports the sparse number with the "
+                         "density in the unit string")
     ap.add_argument("--accum", choices=["f32", "f16", "bf16"],
                     default="f16",
                     help="sliding-window accumulator dtype. Default f16 = "
@@ -85,6 +93,24 @@ def main():
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(params))
     log(f"params: {n_params/1e6:.2f}M  patch={patch}  volume={vol_shape}")
+
+    sparse_tag = ""
+    if args.sparse_density is not None:
+        # density-d row-sparse "checkpoint": row masks (dsff granularity=
+        # 'row'), dense-masked params (the reference inference semantics),
+        # and the static sparse plan that skips the dead rows
+        from e2enet_tpu.models.sparse_plan import build_sparse_plan
+        from e2enet_tpu.training import dsff
+        d = args.sparse_density
+        masks = dsff.init_masks_row(params["params"], d,
+                                    jax.random.PRNGKey(7),
+                                    density_48_override=d)
+        params = {"params": dsff.apply_masks(params["params"], masks)}
+        plan = build_sparse_plan(masks)
+        assert plan, "row mask produced no sparse plan"
+        model = model.clone(sparse_plan=plan)
+        sparse_tag = f"_rowsparse{d:g}"
+        log(f"row-sparse plan: {len(plan)} convs at density {d:g}")
 
     apply_fn = lambda p, x: model.apply(p, x, do_ds=False)
     qmeta = (((2, 2, 2), patch[1] // 2, patch[2] // 2)
@@ -181,7 +207,7 @@ def main():
     result = {
         "metric": "sliding_window_patch_throughput",
         "value": round(float(patches_per_sec), 3),
-        "unit": f"{patch[0]}^3_patches_per_sec_per_chip_tta8",
+        "unit": f"{patch[0]}^3_patches_per_sec_per_chip_tta8{sparse_tag}",
         "vs_baseline": round(float(patches_per_sec
                                    / BASELINE_GPU_PATCHES_PER_SEC), 3)
         if on_tpu else 0.0,

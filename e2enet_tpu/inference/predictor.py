@@ -73,6 +73,7 @@ class ModelBundle:
 
         self.fold_params = []
         sidecar = None
+        fold_plans = []
         for fd in fold_dirs:
             ckpt = join(fd, checkpoint_name + ".model")
             assert isfile(ckpt), f"checkpoint missing: {ckpt}"
@@ -81,9 +82,22 @@ class ModelBundle:
             params = state.params
             if state.masks is not None:
                 params = dsff.apply_masks(params, state.masks)
+                from ..models.sparse_plan import build_sparse_plan
+                fold_plans.append(build_sparse_plan(state.masks))
+            else:
+                fold_plans.append(None)
             self.fold_params.append(params)
             if sidecar is None and isfile(ckpt + ".pkl"):
                 sidecar = load_pickle(ckpt + ".pkl")
+        # DSFF row-sparse inference: realize the FLOP cut when every fold
+        # shares one plan (a single fold, or identically-structured masks);
+        # otherwise run dense — mixed per-fold plans would need one
+        # compiled program per fold. Unstructured (kernel-pair) masks give
+        # plan None and run dense, exactly like the reference.
+        self.sparse_plan = (fold_plans[0]
+                            if fold_plans and fold_plans[0] is not None
+                            and all(p == fold_plans[0] for p in fold_plans)
+                            else None)
         assert sidecar is not None, "checkpoint sidecar pkl missing"
         self.sidecar_init = sidecar["init"]
         self.plans = Plans.from_dict(sidecar["plans"])
@@ -99,7 +113,9 @@ class ModelBundle:
             tconv=tconv,
             base_num_features=sidecar["init"].get("base_num_features", 48),
             compute_dtype=compute_dtype, quadrant_logits=True,
-            quadrant_input=self.patch_size)
+            quadrant_input=self.patch_size,
+            sparse_plan=(self.sparse_plan if tconv in (
+                "shiftConvPP", "shiftConvPP_noshift") else None))
 
     def quadrant_meta(self):
         """(q0, Hq, Wq) for ops/sliding's quadrant-logits path; harmless

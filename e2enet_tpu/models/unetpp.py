@@ -120,6 +120,17 @@ class ShiftUNetPlusPlus(nn.Module):
     # per mirror pass instead of flipping data (reference flips per pass,
     # neural_network.py:529-563).
     flips: Tuple[bool, bool, bool] = (False, False, False)
+    # DSFF row-sparse inference plan (models/sparse_plan.build_sparse_plan):
+    # a STATIC tuple of ("loc{z}_{k}[ _final]/block{i}" | "up{z}_{k}",
+    # alive-channel tuple) pairs derived from a row-structured DSFF mask at
+    # checkpoint load. Masked convs then contract only their alive input
+    # rows (dead rows carry w == 0 — exact up to summation order), chained
+    # up-links / intra-stack convs never compute dead channels at all, and
+    # the fused/quadrant kernels run with density x fewer K rows — the
+    # MXU FLOP cut the reference's unstructured masks cannot deliver.
+    # None = dense (also the only option for kernel-pair-granular masks,
+    # which have no machine-exploitable structure — see training/dsff.py).
+    sparse_plan: Optional[Tuple[Tuple[str, Tuple[int, ...]], ...]] = None
 
     @property
     def num_pool(self) -> int:
@@ -352,7 +363,7 @@ class ShiftUNetPlusPlus(nn.Module):
             return ((enc[i], enc[i]) if not has_above
                     else (enc[i], enc[i], enc[i - 1]))
 
-        def up_fn(mdl, below, z, k, i, cf):
+        def up_fn(mdl, below, z, k, i, cf, sparse_kw=()):
             # cf: False = channels-last, True = padded CF, "quad" = quadrant
             # quadrant up-link from a PENDING below: norm+lrelu on the fly
             # inside the block-column GEMM — no CL materialization, no pad,
@@ -375,6 +386,7 @@ class ShiftUNetPlusPlus(nn.Module):
                                 # arrival (falls back internally if the
                                 # geometry/dtype/VMEM gate rejects)
                                 lazy=pend_q,
+                                **dict(sparse_kw),
                                 name=f"up{z}_{k}", parent=mdl)
             if pend_q:
                 mult, off = affine_of(below, i + 1)
@@ -385,7 +397,7 @@ class ShiftUNetPlusPlus(nn.Module):
         # residuals are its inputs and output, which the nest keeps anyway —
         # replaying the kernels in the backward would only cost time. Only
         # the up-link (transpconv + materialization) is rematerialized.
-        up_remat = (nn.remat(up_fn, static_argnums=(2, 3, 4, 5))
+        up_remat = (nn.remat(up_fn, static_argnums=(2, 3, 4, 5, 6))
                     if self.remat else up_fn)
 
         def down_link_cl(above, i):
@@ -405,6 +417,61 @@ class ShiftUNetPlusPlus(nn.Module):
                                          pools[i - 1])
             return max_pool(as_cl(above, i - 1), pools[i - 1])
 
+        # -------- DSFF row-sparse plan lookup (see sparse_plan attr)
+        plan = dict(self.sparse_plan) if self.sparse_plan else {}
+
+        def pad8(alive, full):
+            """Pad an alive set to a multiple of 8 (MXU sublane tile) with
+            dead channels — their weights are 0, so this is exact and only
+            aligns the contraction rows."""
+            alive = sorted(int(c) for c in alive)
+            # at least 8 rows (an all-dead part still contributes exact
+            # zeros through 8 zero-weight channels — keeps parts non-empty)
+            want = min(max(-(-len(alive) // 8) * 8, 8), full)
+            dead = (c for c in range(full) if c not in set(alive))
+            while len(alive) < want:
+                alive.append(next(dead))
+            return tuple(sorted(alive))
+
+        def node_sparse(z, k, i, part_channels):
+            """Per-node sparse wiring: (stack kwargs for loc{z}_{k},
+            up sparse kwargs, final-stack alive rows or None)."""
+            alive = plan.get(f"loc{z}_{k}/block0")
+            up_kw = {}
+            if plan.get(f"up{z}_{k}") is not None:
+                up_kw["sparse_in"] = pad8(plan[f"up{z}_{k}"],
+                                          enc[i + 1 if i < P else P])
+            fin0 = plan.get(f"loc{z}_{k}_final/block0")
+            fin = pad8(fin0, enc[i]) if fin0 is not None else None
+            if alive is None:
+                return (({} if fin is None
+                         else dict(sparse_out=fin)), up_kw, fin)
+            off = np.cumsum([0] + list(part_channels))
+            alive = np.asarray(alive, np.int64)
+            per_part = tuple(
+                pad8(tuple(int(c - off[p]) for c in alive
+                           if off[p] <= c < off[p + 1]),
+                     part_channels[p])
+                for p in range(len(part_channels)))
+            # the up part (index 1) is emitted compact by TranspConv
+            up_alive = per_part[1]
+            if len(up_alive) < part_channels[1]:
+                up_kw["sparse_out"] = up_alive
+            compact = tuple(p == 1 and len(up_alive) < part_channels[1]
+                            for p in range(len(part_channels)))
+            stack_kw = dict(sparse_in=per_part,
+                            sparse_in_full=tuple(part_channels),
+                            sparse_compact=compact)
+            chain = tuple(
+                (pad8(plan[f"loc{z}_{k}/block{b}"], enc[i])
+                 if plan.get(f"loc{z}_{k}/block{b}") is not None else None)
+                for b in range(self.num_conv_per_stage - 1))
+            if any(c is not None for c in chain[1:]):
+                stack_kw["sparse_chain"] = chain
+            if fin is not None:
+                stack_kw["sparse_out"] = fin
+            return stack_kw, up_kw, fin
+
         def node_fn(mdl, below, same, above, z, k, i):
             _, H, W = level_size[i]
             use_quad = (i == 0
@@ -413,9 +480,14 @@ class ShiftUNetPlusPlus(nn.Module):
             use_fused = (not use_quad) and fused_ok(
                 i, node_parts(i, above is not None), enc[i])
             mode = "quad" if use_quad else use_fused
+            stack_kw, up_kw, fin = node_sparse(
+                z, k, i, node_parts(i, above is not None))
             up = (up_remat if (use_fused or use_quad) else up_fn)(
-                mdl, below, z, k, i, mode)
+                mdl, below, z, k, i, mode, tuple(sorted(up_kw.items())))
 
+            fin_kw = ({} if fin is None else dict(
+                sparse_in=(tuple(fin),), sparse_in_full=(enc[i],),
+                sparse_compact=(True,)))
             if use_quad:
                 p_same, a_same = q_as_part(same)
                 parts, affines = [p_same, up], [a_same, None]
@@ -423,7 +495,7 @@ class ShiftUNetPlusPlus(nn.Module):
                     features=enc[i], num_convs=self.num_conv_per_stage - 1,
                     fused=True, fused_hw=(Hq0, Wq0), fused_q=q0,
                     fused_interpret=self.fused_interpret,
-                    name=f"loc{z}_{k}", parent=mdl, **common)(
+                    name=f"loc{z}_{k}", parent=mdl, **stack_kw, **common)(
                         (parts, affines))
                 if z == 0:
                     raw, stats, scale, nbias = out
@@ -434,7 +506,7 @@ class ShiftUNetPlusPlus(nn.Module):
                         fused_hw=(Hq0, Wq0), fused_q=q0,
                         fused_interpret=self.fused_interpret,
                         name=f"loc{z}_{k}_final", parent=mdl,
-                        **common)(([raw], [(mult, off)]))
+                        **fin_kw, **common)(([raw], [(mult, off)]))
                 return QPending(*out)
 
             if use_fused:
@@ -465,7 +537,8 @@ class ShiftUNetPlusPlus(nn.Module):
                     features=enc[i], num_convs=self.num_conv_per_stage - 1,
                     fused=True, fused_hw=(H, W),
                     fused_interpret=self.fused_interpret,
-                    name=f"loc{z}_{k}", parent=mdl, **common)(fused_in)
+                    name=f"loc{z}_{k}", parent=mdl, **stack_kw,
+                    **common)(fused_in)
                 if z == 0:
                     raw, stats, scale, nbias = out
                     mult, off = norm_affine_from_stats(
@@ -475,7 +548,7 @@ class ShiftUNetPlusPlus(nn.Module):
                         fused_hw=(H, W),
                         fused_interpret=self.fused_interpret,
                         name=f"loc{z}_{k}_final", parent=mdl,
-                        **common)(([raw], [(mult, off)]))
+                        **fin_kw, **common)(([raw], [(mult, off)]))
                 return Pending(*out)
 
             cat = [as_cl(same, i), up]
@@ -487,14 +560,17 @@ class ShiftUNetPlusPlus(nn.Module):
             if z == 0:
                 fused = StackedConvBlocks(
                     features=enc[i], num_convs=self.num_conv_per_stage - 1,
-                    name=f"loc{z}_{k}", parent=mdl, **common)(fused)
+                    name=f"loc{z}_{k}", parent=mdl, **stack_kw,
+                    **common)(fused)
                 fused = StackedConvBlocks(
                     features=enc[i], num_convs=1,
-                    name=f"loc{z}_{k}_final", parent=mdl, **common)(fused)
+                    name=f"loc{z}_{k}_final", parent=mdl, **fin_kw,
+                    **common)(fused)
             else:
                 fused = StackedConvBlocks(
                     features=enc[i], num_convs=self.num_conv_per_stage - 1,
-                    name=f"loc{z}_{k}", parent=mdl, **common)(fused)
+                    name=f"loc{z}_{k}", parent=mdl, **stack_kw,
+                    **common)(fused)
             return fused
 
         node = (nn.remat(node_fn, static_argnums=(4, 5, 6))
@@ -581,7 +657,7 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
                   compute_dtype=jnp.bfloat16, norm_op: str = "instance",
                   nonlin: str = "lrelu", fused=None,
                   quadrant=None, quadrant_logits: bool = False,
-                  remat=None, quadrant_input=None):
+                  remat=None, quadrant_input=None, sparse_plan=None):
     """Network factory by Tconv name.
     Parity: nnUNetTrainer_simple.initialize_network (:281-357).
     2D plans (patch D == 1) disable the depth shift — the reference never
@@ -601,6 +677,10 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
         qlog["quadrant"] = bool(quadrant)
     if quadrant_input is not None:
         qlog["quadrant_input"] = tuple(int(s) for s in quadrant_input)
+    if sparse_plan is not None:
+        # DSFF row-sparse inference plan (models/sparse_plan.py); only the
+        # ShiftUNetPlusPlus variants consume it
+        qlog["sparse_plan"] = tuple(sparse_plan)
     pools = tuple(tuple(p) for p in plans_stage.pool_op_kernel_sizes)
     if int(plans_stage.patch_size[0]) == 1:
         if tconv in ("shiftConvPP",):

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .shift import (depth_shift, depth_shift_custom, group_shifts,
-                    group_shifts_for_range)
+from .shift import (compact_groups, depth_shift, depth_shift_custom,
+                    group_shifts, group_shifts_for_range)
 
 LRELU_SLOPE = 1e-2
 INSTNORM_EPS = 1e-5
@@ -344,6 +344,36 @@ class ShiftConvBlock(nn.Module):
     # strided windows + negated shift groups. Norms/nonlins are
     # flip-invariant; parameters are IDENTICAL across flip variants.
     flips: Tuple[bool, bool, bool] = NO_FLIPS
+    # ---- DSFF row-sparse inference (models/sparse_plan.py). All STATIC.
+    # sparse_in: per input part, the alive logical channel indices within
+    # the part's FULL channel range (a row-structured DSFF mask kills
+    # whole input channels; dead channels carry w == 0 so skipping them is
+    # exact up to summation order). The conv then contracts over only the
+    # alive K rows — a real MXU FLOP cut. sparse_in_full: the full channel
+    # count per part (the parameter keeps its FULL checkpoint shape; alive
+    # rows are gathered from it at trace time). sparse_compact[p]: the
+    # part TENSOR was already emitted compact by its producer (chained
+    # stack convs, pruned up-links) — only the kernel rows/groups follow
+    # the alive indices then. sparse_out: emit only these output channels
+    # (the chained consumer's alive input rows) — prunes kernel columns,
+    # bias, and the returned norm scale/bias/stats.
+    sparse_in: Optional[Tuple[Tuple[int, ...], ...]] = None
+    sparse_in_full: Optional[Tuple[int, ...]] = None
+    sparse_compact: Optional[Tuple[bool, ...]] = None
+    sparse_out: Optional[Tuple[int, ...]] = None
+
+    def _sparse_kernel_rows(self):
+        """Global alive row indices over the full concat channel space +
+        the compact-space shift groups."""
+        full = self.sparse_in_full
+        off = np.cumsum([0] + list(full))
+        galive = np.concatenate([
+            off[p] + np.asarray(a, np.int64)
+            for p, a in enumerate(self.sparse_in)])
+        cin_full = int(off[-1])
+        groups_full = (group_shifts(cin_full, self.shift_size)
+                       if self.do_shift else [(0, cin_full, 0)])
+        return galive, compact_groups(groups_full, galive)
 
     @nn.compact
     def __call__(self, x):
@@ -409,14 +439,18 @@ class ShiftConvBlock(nn.Module):
             assert self.kernel == (1, 3, 3) and self.stride == (1, 1, 1)
             assert self.norm_op == "instance" and self.nonlin == "lrelu", \
                 "fused kernels bake instance-norm + lrelu"
+            from .qfused import LazyUp
             if self.fused_q is not None:
-                from .qfused import LazyUp
                 Q = int(np.prod(self.fused_q))
                 cin = sum(int(p.kernel.shape[-1])
                           if isinstance(p, LazyUp)
                           else int(p.shape[2]) // Q for p in parts)
             else:
                 cin = sum(int(p.shape[2]) for p in parts)
+            if self.sparse_in is not None:
+                # parameter keeps the FULL checkpoint shape; rows of
+                # pre-compact parts are already gathered by the producer
+                cin = sum(self.sparse_in_full)
             kernel = self.param("kernel", he_normal_leaky(),
                                 (3, 3, cin, self.features))
             bias = self.param("bias", nn.initializers.zeros,
@@ -425,6 +459,48 @@ class ShiftConvBlock(nn.Module):
                                (self.features,))
             nbias = self.param("norm_bias", nn.initializers.zeros,
                                (self.features,))
+            g_override = None
+            if self.sparse_in is not None:
+                galive, g_override = self._sparse_kernel_rows()
+                kernel = jnp.take(kernel, jnp.asarray(galive), axis=-2)
+                compact = self.sparse_compact or (False,) * len(parts)
+                new_parts, new_affines = [], []
+                for p, part in enumerate(parts):
+                    alive = np.asarray(self.sparse_in[p], np.int32)
+                    aff = affines[p]
+                    ident = (len(alive) == self.sparse_in_full[p]
+                             and np.array_equal(alive,
+                                                np.arange(len(alive))))
+                    if isinstance(part, LazyUp):
+                        # prune the up-link GEMM's output columns: the
+                        # consumer only reads these rows — the dead
+                        # channels are never computed at all
+                        if len(alive) < int(part.kernel.shape[-1]):
+                            part = LazyUp(part.raw, part.mult, part.off,
+                                          jnp.take(part.kernel,
+                                                   jnp.asarray(alive),
+                                                   axis=-1))
+                    elif not compact[p] and not ident:
+                        if self.fused_q is not None:
+                            from .qfused import take_channels_quadrant
+                            part = take_channels_quadrant(part, alive, Q)
+                        else:
+                            part = jnp.take(part, jnp.asarray(alive),
+                                            axis=2)
+                        if aff is not None:
+                            aff = (jnp.take(aff[0], jnp.asarray(alive),
+                                            axis=-1),
+                                   jnp.take(aff[1], jnp.asarray(alive),
+                                            axis=-1))
+                    new_parts.append(part)
+                    new_affines.append(aff)
+                parts, affines = new_parts, new_affines
+            if self.sparse_out is not None:
+                oa = jnp.asarray(np.asarray(self.sparse_out, np.int32))
+                kernel = jnp.take(kernel, oa, axis=-1)
+                bias = jnp.take(bias, oa)
+                scale = jnp.take(scale, oa)
+                nbias = jnp.take(nbias, oa)
             if self.fused_q is not None:
                 from .qfused import quadrant_fused_block
                 y, stats = quadrant_fused_block(
@@ -433,7 +509,8 @@ class ShiftConvBlock(nn.Module):
                     self.fused_q, H, W,
                     shift_size=self.shift_size, do_shift=self.do_shift,
                     interpret=self.fused_interpret,
-                    flips=tuple(self.flips))
+                    flips=tuple(self.flips),
+                    groups_override=g_override)
             else:
                 from .fused_block import fused_shift_conv_block
                 y, stats = fused_shift_conv_block(
@@ -441,7 +518,8 @@ class ShiftConvBlock(nn.Module):
                     bias.astype(self.compute_dtype), affines, H, W,
                     shift_size=self.shift_size, do_shift=self.do_shift,
                     interpret=self.fused_interpret,
-                    flips=tuple(self.flips))
+                    flips=tuple(self.flips),
+                    groups_override=g_override)
             return y, stats, scale, nbias
 
         kd, kh, kw = self.kernel
@@ -454,13 +532,51 @@ class ShiftConvBlock(nn.Module):
             spatial = (spatial[0], 1)
         parts = x if isinstance(x, (list, tuple)) else [x]
         cin = sum(int(p.shape[-1]) for p in parts)
+        if self.sparse_in is not None:
+            cin = sum(self.sparse_in_full)
         kernel = self.param("kernel", he_normal_leaky(),
                             (*spatial, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        scale = self.param("norm_scale", nn.initializers.ones,
+                           (self.features,))
+        nbias = self.param("norm_bias", nn.initializers.zeros,
+                           (self.features,))
         shifting = self.do_shift and self.kernel == (1, 3, 3)
 
+        if self.sparse_in is not None:
+            # DSFF row-sparse: gather alive channels (exact — dead rows
+            # carry w == 0), keep each channel's ORIGINAL shift group
+            galive, cgroups = self._sparse_kernel_rows()
+            kernel = jnp.take(kernel, jnp.asarray(galive), axis=-2)
+            compact = self.sparse_compact or (False,) * len(parts)
+
+            def gather_cl(i, p):
+                alive = np.asarray(self.sparse_in[i], np.int32)
+                if compact[i] or (len(alive) == self.sparse_in_full[i]
+                                  and np.array_equal(
+                                      alive, np.arange(len(alive)))):
+                    return p
+                return jnp.take(p, jnp.asarray(alive), axis=-1)
+
+            parts = [gather_cl(i, p) for i, p in enumerate(parts)]
+            part_lens = [len(a) for a in self.sparse_in]
+        else:
+            cgroups = (group_shifts(cin, self.shift_size) if shifting
+                       else None)
+            part_lens = [int(p.shape[-1]) for p in parts]
+        if self.sparse_out is not None:
+            oa = jnp.asarray(np.asarray(self.sparse_out, np.int32))
+            kernel = jnp.take(kernel, oa, axis=-1)
+            bias = jnp.take(bias, oa)
+            scale = jnp.take(scale, oa)
+            nbias = jnp.take(nbias, oa)
+
+        def restrict(groups, lo, hi):
+            return tuple((max(c0, lo) - lo, min(c1, hi) - lo, s)
+                         for (c0, c1, s) in groups if c0 < hi and c1 > lo)
+
         fd = self.flips[0]
-        if len(parts) == 1:
+        if len(parts) == 1 and self.sparse_in is None:
             x = parts[0]
             if shifting:
                 if fd:
@@ -474,11 +590,10 @@ class ShiftConvBlock(nn.Module):
         else:
             y = None
             off = 0
-            for part in parts:
-                pc = int(part.shape[-1])
+            for i, part in enumerate(parts):
+                pc = part_lens[i]
                 if shifting:
-                    groups = group_shifts_for_range(cin, self.shift_size,
-                                                    off, off + pc)
+                    groups = restrict(cgroups, off, off + pc)
                     if fd:
                         groups = tuple((c0, c1, -s)
                                        for (c0, c1, s) in groups)
@@ -491,8 +606,6 @@ class ShiftConvBlock(nn.Module):
                                           flips=self.flips)
                 y = contrib if y is None else y + contrib
                 off += pc
-        scale = self.param("norm_scale", nn.initializers.ones, (self.features,))
-        nbias = self.param("norm_bias", nn.initializers.zeros, (self.features,))
         y = NORM_OPS[self.norm_op](y, scale, nbias)
         if self.norm_op == "frn":
             # FRN pairs with the thresholded linear unit: max(y, tau)
@@ -525,6 +638,38 @@ class StackedConvBlocks(nn.Module):
     # geometry (fused_hw). x is then ([normalized quadrant tensor], [None]).
     q_transition: Optional[Tuple[Tuple[int, int, int], int, int, int]] = None
     flips: Tuple[bool, bool, bool] = NO_FLIPS   # mirrored-equivalent stack
+    # ---- DSFF row-sparse inference (see ShiftConvBlock). sparse_in/
+    # sparse_in_full/sparse_compact describe block0's input parts.
+    # sparse_chain[i] (i = 1..num_convs-1) is block i's alive input rows
+    # over the stack features: block i-1 then EMITS only those output
+    # channels (out-column prune) and block i contracts only those rows —
+    # the intra-stack chain never computes a dead channel. sparse_out
+    # prunes the LAST block's outputs (set by the model when a _final
+    # stack follows with its own row mask).
+    sparse_in: Optional[Tuple[Tuple[int, ...], ...]] = None
+    sparse_in_full: Optional[Tuple[int, ...]] = None
+    sparse_compact: Optional[Tuple[bool, ...]] = None
+    sparse_chain: Optional[Tuple[Optional[Tuple[int, ...]], ...]] = None
+    sparse_out: Optional[Tuple[int, ...]] = None
+
+    def _block_sparse(self, i):
+        """(sparse_in, sparse_in_full, sparse_compact, sparse_out) of
+        block i under the chain semantics above."""
+        chain = self.sparse_chain or (None,) * self.num_convs
+        if i == 0:
+            sin, sfull, scomp = (self.sparse_in, self.sparse_in_full,
+                                 self.sparse_compact)
+        elif chain[i] is not None:
+            # producer emitted exactly these channels — tensor compact
+            sin = (tuple(chain[i]),)
+            sfull = (self.features,)
+            scomp = (True,)
+        else:
+            sin = sfull = scomp = None
+        nxt = (chain[i + 1] if i + 1 < self.num_convs else None)
+        sout = (tuple(nxt) if nxt is not None
+                else (self.sparse_out if i == self.num_convs - 1 else None))
+        return sin, sfull, scomp, sout
 
     @nn.compact
     def __call__(self, x):
@@ -560,6 +705,7 @@ class StackedConvBlocks(nn.Module):
                         mult, off = norm_affine_from_stats(stats, n_vox,
                                                            scale, nbias)
                     parts, affines = [raw], [(mult, off)]
+                sin, sfull, scomp, sout = self._block_sparse(i)
                 out = ShiftConvBlock(
                     features=self.features, kernel=self.kernel,
                     shift_size=self.shift_size, do_shift=self.do_shift,
@@ -568,10 +714,13 @@ class StackedConvBlocks(nn.Module):
                     fused_q_strided=(self.q_transition if i == 0 else None),
                     fused_interpret=self.fused_interpret,
                     flips=self.flips,
+                    sparse_in=sin, sparse_in_full=sfull,
+                    sparse_compact=scomp, sparse_out=sout,
                     name=f"block{i}")((parts, affines))
             return out
 
         for i in range(self.num_convs):
+            sin, sfull, scomp, sout = self._block_sparse(i)
             x = ShiftConvBlock(
                 features=self.features, kernel=self.kernel,
                 stride=self.first_stride if i == 0 else (1, 1, 1),
@@ -579,6 +728,8 @@ class StackedConvBlocks(nn.Module):
                 compute_dtype=self.compute_dtype,
                 norm_op=self.norm_op, nonlin=self.nonlin,
                 flips=self.flips,
+                sparse_in=sin, sparse_in_full=sfull,
+                sparse_compact=scomp, sparse_out=sout,
                 name=f"block{i}")(x)
         return x
 
@@ -607,6 +758,13 @@ class TranspConv(nn.Module):
     # arrival (the (N,Dq,Q*C,L) tensor never hits HBM). The consumer
     # falls back to the materialized route when unsupported.
     lazy: bool = False
+    # ---- DSFF row-sparse inference: sparse_in = this up-link's OWN row
+    # mask (alive input channels of the below node — K cut of the GEMM);
+    # sparse_out = the consumer's alive rows within the up part (output-
+    # column cut: dead up channels are never computed). The consumer must
+    # then treat the up part as compact.
+    sparse_in: Optional[Tuple[int, ...]] = None
+    sparse_out: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x):
@@ -615,6 +773,20 @@ class TranspConv(nn.Module):
         sd, sh, sw = self.stride
         kernel = self.param("kernel", he_normal_leaky(),
                             (sd, sh, sw, cin, self.features))
+        if self.sparse_in is not None:
+            ia = jnp.asarray(np.asarray(self.sparse_in, np.int32))
+            kernel = jnp.take(kernel, ia, axis=-2)
+            if pending_in:
+                raw, mult, off = x
+                x = (jnp.take(raw, ia, axis=2),
+                     jnp.take(mult, ia, axis=-1),
+                     jnp.take(off, ia, axis=-1))
+            else:
+                x = jnp.take(x, ia, axis=-1)
+        if self.sparse_out is not None:
+            kernel = jnp.take(
+                kernel, jnp.asarray(np.asarray(self.sparse_out, np.int32)),
+                axis=-1)
         if any(self.flips):
             kernel = flip_transp_kernel(kernel, self.flips)
         if pending_in:

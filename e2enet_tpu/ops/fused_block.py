@@ -961,7 +961,8 @@ def fused_shift_conv_block(parts: Sequence[jnp.ndarray],
                            do_stats: bool = True,
                            use_pallas: bool = True,
                            interpret: bool = False,
-                           flips=(False, False, False)):
+                           flips=(False, False, False),
+                           groups_override=None):
     """parts: padded channels-first flat tensors (N, D, Ci, H*Wp) — an
     implicit channel concat; padding columns (w >= W) must be zero.
     kernel: (3, 3, C, CO). bias: (CO,). affines: per part, None or a pair
@@ -987,8 +988,14 @@ def fused_shift_conv_block(parts: Sequence[jnp.ndarray],
         kernel = kernel[::-1]
     if flips[2]:
         kernel = kernel[:, ::-1]
-    groups = (tuple(group_shifts(C, shift_size)) if do_shift
-              else ((0, C, 0),))
+    # groups_override: explicit shift groups over the (compact) channel
+    # space — sparse-plan path (see qfused.quadrant_fused_block)
+    if groups_override is not None:
+        groups = tuple(groups_override)
+        assert groups[-1][1] == C and groups[0][0] == 0
+    else:
+        groups = (tuple(group_shifts(C, shift_size)) if do_shift
+                  else ((0, C, 0),))
     if flips[0]:
         groups = tuple((c0, c1, -s) for (c0, c1, s) in groups)
     part_affine = tuple(a is not None for a in affines)

@@ -146,6 +146,27 @@ def _depth_shift_custom_bwd(groups, axis, _res, g):
 depth_shift_custom.defvjp(_depth_shift_custom_fwd, _depth_shift_custom_bwd)
 
 
+def compact_groups(groups, alive):
+    """Shift groups of the COMPACT (gathered) channel space: channel j of
+    the compact tensor is original channel alive[j] and keeps the shift of
+    the original group containing alive[j]. Consecutive compact channels
+    with equal shifts merge, so len(out) <= len(groups) always.
+    depth_shift_custom(x[..., alive], compact_groups(groups, alive)) ==
+    depth_shift_custom(x, groups)[..., alive]."""
+    shift_of = {}
+    for c0, c1, s in groups:
+        for c in range(c0, c1):
+            shift_of[c] = s
+    out = []
+    for j, c in enumerate(alive):
+        s = shift_of[int(c)]
+        if out and out[-1][2] == s and out[-1][1] == j:
+            out[-1] = (out[-1][0], j + 1, s)
+        else:
+            out.append((j, j + 1, s))
+    return tuple(out)
+
+
 def group_shifts_for_range(total_channels: int, shift_size: int,
                            lo: int, hi: int):
     """The shift groups of channels [lo, hi) within a concatenated tensor of
