@@ -404,9 +404,12 @@ class ShiftUNetPlusPlus(nn.Module):
             """Channels-last pooled down link from x(i-1, j-1)."""
             if isinstance(above, QPending):
                 # the pool window IS the quadrant factors: block-max
+                # (channel count from the affine — compact under the
+                # sparse plan's emit-union output pruning)
                 multq, offq = q_affine_of(above)
                 return quadrant_block_max_cl(above.raw, multq, offq, q0,
-                                             Hq0, Wq0, enc[0])
+                                             Hq0, Wq0,
+                                             int(multq.shape[-1]))
             if isinstance(above, Pending):
                 # norm+pool+CL in ONE pass over the pending raw (no as_cl
                 # materialization + layout copy before the reduce)
@@ -433,35 +436,105 @@ class ShiftUNetPlusPlus(nn.Module):
                 alive.append(next(dead))
             return tuple(sorted(alive))
 
+        # -------- emit-union output compaction: each nest node emits only
+        # the UNION of its consumers' alive input rows (sparse_out on its
+        # last stack). Consumers take the compact tensor as-is and gather
+        # only their WEIGHT rows to union order at trace time — rows in
+        # the union a consumer doesn't need carry w == 0 (mask invariant),
+        # so this is exact. Kills the full-width (Q*C-row) node outputs
+        # the round-10 sparse profile showed dominating (dense output DMA
+        # + the S(1) copies riding on them), plus every full-volume input
+        # gather between nest nodes.
+        n_heads_built = self.num_ds_outputs()
+
+        def emit_union(i, j):
+            """Alive-channel union x(i,j)'s consumers need, pad8'ed, or
+            None when the output must stay dense (a consumer is unmasked /
+            a seg head reads it / everything is alive)."""
+            if not plan or j == 0:
+                return None       # encoders/stem handled separately
+            if j == P - i and i < n_heads_built:
+                return None       # seg head consumes ALL channels
+            needs = set()
+            if j + 1 <= P - i:                    # same-part consumer
+                a = plan.get(f"loc{P - i - (j + 1)}_{j}/block0")
+                if a is None:
+                    return None
+                needs.update(c for c in a if c < enc[i])
+            if i > 0 and j + 1 <= P - (i - 1):    # up-link consumer
+                a = plan.get(f"up{P - (i - 1) - (j + 1)}_{j}")
+                if a is None:
+                    return None
+                needs.update(a)
+            if self.dense_fusion and j + 1 <= P - (i + 1):  # down consumer
+                a = plan.get(f"loc{P - (i + 1) - (j + 1)}_{j}/block0")
+                if a is None:
+                    return None
+                off2 = 2 * enc[i + 1]
+                needs.update(c - off2 for c in a if c >= off2)
+            u = pad8(needs or {0}, enc[i])
+            return None if len(u) >= enc[i] else u
+
+        emits: Dict[Tuple[int, int], Optional[Tuple[int, ...]]] = {}
+        for jj in range(1, P + 1):
+            for ii in range(P - jj, -1, -1):
+                emits[(ii, jj)] = emit_union(ii, jj)
+
         def node_sparse(z, k, i, part_channels):
             """Per-node sparse wiring: (stack kwargs for loc{z}_{k},
-            up sparse kwargs, final-stack alive rows or None)."""
+            up sparse kwargs, final-stack alive rows or None,
+            this node's emit union or None)."""
+            j = k + 1
             alive = plan.get(f"loc{z}_{k}/block0")
+            out_union = emits.get((i, j))
+            # producers of this node's input parts (compact when pruned)
+            same_u = emits.get((i, j - 1))
+            below_u = emits.get((i + 1, j - 1))
+            above_u = emits.get((i - 1, j - 1))
             up_kw = {}
-            if plan.get(f"up{z}_{k}") is not None:
+            if below_u is not None:
+                # below emitted compact: contract its full union (extra
+                # rows have zero kernel rows — exact), kernel-row gather
+                # only
+                up_kw.update(sparse_in=below_u, sparse_in_compact=True,
+                             sparse_in_full=enc[i + 1 if i < P else P])
+            elif plan.get(f"up{z}_{k}") is not None:
                 up_kw["sparse_in"] = pad8(plan[f"up{z}_{k}"],
                                           enc[i + 1 if i < P else P])
             fin0 = plan.get(f"loc{z}_{k}_final/block0")
             fin = pad8(fin0, enc[i]) if fin0 is not None else None
             if alive is None:
-                return (({} if fin is None
-                         else dict(sparse_out=fin)), up_kw, fin)
+                assert same_u is None and above_u is None, \
+                    "pruned producer feeding an unmasked consumer"
+                stack_kw = {} if fin is None else dict(sparse_out=fin)
+                return stack_kw, up_kw, fin, out_union
             off = np.cumsum([0] + list(part_channels))
             alive = np.asarray(alive, np.int64)
-            per_part = tuple(
-                pad8(tuple(int(c - off[p]) for c in alive
-                           if off[p] <= c < off[p + 1]),
-                     part_channels[p])
-                for p in range(len(part_channels)))
-            # the up part (index 1) is emitted compact by TranspConv
-            up_alive = per_part[1]
-            if len(up_alive) < part_channels[1]:
-                up_kw["sparse_out"] = up_alive
-            compact = tuple(p == 1 and len(up_alive) < part_channels[1]
-                            for p in range(len(part_channels)))
-            stack_kw = dict(sparse_in=per_part,
+            producer_u = (same_u, None, above_u)
+            per_part, compact = [], []
+            for p in range(len(part_channels)):
+                own = tuple(int(c - off[p]) for c in alive
+                            if off[p] <= c < off[p + 1])
+                if p == 1:
+                    # the up part is emitted compact by TranspConv's
+                    # output-column prune (exactly this node's alive rows)
+                    ua = pad8(own, part_channels[p])
+                    if len(ua) < part_channels[p]:
+                        up_kw["sparse_out"] = ua
+                    per_part.append(ua)
+                    compact.append(len(ua) < part_channels[p])
+                elif producer_u[p] is not None:
+                    # producer emitted its consumer union compact: take it
+                    # as-is; this conv's dead rows within it are zero
+                    assert set(own) <= set(producer_u[p])
+                    per_part.append(producer_u[p])
+                    compact.append(True)
+                else:
+                    per_part.append(pad8(own, part_channels[p]))
+                    compact.append(False)
+            stack_kw = dict(sparse_in=tuple(per_part),
                             sparse_in_full=tuple(part_channels),
-                            sparse_compact=compact)
+                            sparse_compact=tuple(compact))
             chain = tuple(
                 (pad8(plan[f"loc{z}_{k}/block{b}"], enc[i])
                  if plan.get(f"loc{z}_{k}/block{b}") is not None else None)
@@ -470,7 +543,11 @@ class ShiftUNetPlusPlus(nn.Module):
                 stack_kw["sparse_chain"] = chain
             if fin is not None:
                 stack_kw["sparse_out"] = fin
-            return stack_kw, up_kw, fin
+            elif out_union is not None:
+                # no final stack follows (z > 0): the main stack emits the
+                # consumer union directly
+                stack_kw["sparse_out"] = out_union
+            return stack_kw, up_kw, fin, out_union
 
         def node_fn(mdl, below, same, above, z, k, i):
             _, H, W = level_size[i]
@@ -480,7 +557,7 @@ class ShiftUNetPlusPlus(nn.Module):
             use_fused = (not use_quad) and fused_ok(
                 i, node_parts(i, above is not None), enc[i])
             mode = "quad" if use_quad else use_fused
-            stack_kw, up_kw, fin = node_sparse(
+            stack_kw, up_kw, fin, out_union = node_sparse(
                 z, k, i, node_parts(i, above is not None))
             up = (up_remat if (use_fused or use_quad) else up_fn)(
                 mdl, below, z, k, i, mode, tuple(sorted(up_kw.items())))
@@ -488,6 +565,10 @@ class ShiftUNetPlusPlus(nn.Module):
             fin_kw = ({} if fin is None else dict(
                 sparse_in=(tuple(fin),), sparse_in_full=(enc[i],),
                 sparse_compact=(True,)))
+            if out_union is not None and z == 0:
+                # the final stack IS the node output: emit the consumer
+                # union (exact — consumers gather weight rows to it)
+                fin_kw["sparse_out"] = out_union
             if use_quad:
                 p_same, a_same = q_as_part(same)
                 parts, affines = [p_same, up], [a_same, None]
@@ -517,8 +598,11 @@ class ShiftUNetPlusPlus(nn.Module):
                         # block-max straight into the padded CF layout the
                         # fused block consumes (no CL round trip)
                         multq, offq = q_affine_of(above)
+                        # channel count from the affine: the above node may
+                        # emit its consumer union compact (sparse plan)
                         p_down = quadrant_block_max_cf(
-                            above.raw, multq, offq, q0, Hq0, Wq0, enc[0],
+                            above.raw, multq, offq, q0, Hq0, Wq0,
+                            int(multq.shape[-1]),
                             level_wp[i], interpret=self.fused_interpret)
                     elif isinstance(above, Pending):
                         # normalized + pooled down-link in ONE CF pass

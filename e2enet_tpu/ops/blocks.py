@@ -758,25 +758,39 @@ class TranspConv(nn.Module):
     # arrival (the (N,Dq,Q*C,L) tensor never hits HBM). The consumer
     # falls back to the materialized route when unsupported.
     lazy: bool = False
-    # ---- DSFF row-sparse inference: sparse_in = this up-link's OWN row
-    # mask (alive input channels of the below node — K cut of the GEMM);
-    # sparse_out = the consumer's alive rows within the up part (output-
-    # column cut: dead up channels are never computed). The consumer must
-    # then treat the up part as compact.
+    # ---- DSFF row-sparse inference: sparse_in = this up-link's alive
+    # input rows over the below node's FULL channel range (K cut of the
+    # GEMM; rows not in the up mask may be included — their kernel rows
+    # are zero, see models/unetpp.py emit-union compaction — so this is
+    # exact). sparse_in_compact: the below producer already emitted
+    # EXACTLY the sparse_in rows (in that order) — gather only the kernel
+    # rows, never the volume tensor. sparse_out = the consumer's alive
+    # rows within the up part (output-column cut: dead up channels are
+    # never computed). The consumer must then treat the up part as compact.
     sparse_in: Optional[Tuple[int, ...]] = None
+    sparse_in_compact: bool = False
+    sparse_in_full: Optional[int] = None   # full cin when input is compact
     sparse_out: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x):
         pending_in = isinstance(x, (tuple, list)) and len(x) == 3
-        cin = int(x[0].shape[2]) if pending_in else x.shape[-1]
         sd, sh, sw = self.stride
+        if self.sparse_in is not None and self.sparse_in_compact:
+            # the volume tensor holds exactly the sparse_in rows; the
+            # parameter keeps its FULL checkpoint shape
+            assert self.sparse_in_full is not None
+            cin = self.sparse_in_full
+        else:
+            cin = int(x[0].shape[2]) if pending_in else x.shape[-1]
         kernel = self.param("kernel", he_normal_leaky(),
                             (sd, sh, sw, cin, self.features))
         if self.sparse_in is not None:
             ia = jnp.asarray(np.asarray(self.sparse_in, np.int32))
             kernel = jnp.take(kernel, ia, axis=-2)
-            if pending_in:
+            if self.sparse_in_compact:
+                pass            # tensor already compact in sparse_in order
+            elif pending_in:
                 raw, mult, off = x
                 x = (jnp.take(raw, ia, axis=2),
                      jnp.take(mult, ia, axis=-1),

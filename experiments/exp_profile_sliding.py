@@ -44,6 +44,18 @@ def main():
         quadrant_input=patch if quadrant else None)
     x0 = jnp.zeros((1, *patch, 1), jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
+    if "--sparse_density" in sys.argv:
+        d = float(sys.argv[sys.argv.index("--sparse_density") + 1])
+        from e2enet_tpu.models.sparse_plan import build_sparse_plan
+        from e2enet_tpu.training import dsff
+        masks = dsff.init_masks_row(params["params"], d,
+                                    jax.random.PRNGKey(7),
+                                    density_48_override=d)
+        params = {"params": dsff.apply_masks(params["params"], masks)}
+        plan = build_sparse_plan(masks)
+        assert plan
+        model = model.clone(sparse_plan=plan)
+        log(f"row-sparse plan: {len(plan)} convs at density {d:g}")
     apply_fn = lambda p, x: model.apply(p, x, do_ds=False)
     qmeta = (((2, 2, 2), patch[1] // 2, patch[2] // 2)
              if quadrant else None)
