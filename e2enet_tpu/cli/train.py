@@ -156,7 +156,13 @@ def main(args=None):
     kwargs.update({k: v for k, v in preset.items()
                    if k in ("max_num_epochs", "loss_name", "momentum",
                             "initial_lr", "da_level", "dummy_load", "fp16",
-                            "cascade", "optimizer", "norm_op", "nonlin")})
+                            "cascade", "optimizer", "norm_op", "nonlin",
+                            "lr_schedule", "momentum_schedule",
+                            "loss_kwargs", "loss_schedule",
+                            "num_conv_per_stage", "seg_bias",
+                            "nonlin_before_norm", "batch_dice",
+                            "base_num_features", "regions", "ds_mode",
+                            "validate_every", "export_kwargs")})
     if "da" in preset:
         kwargs["da_level"] = preset["da"]
     if "loss" in preset:

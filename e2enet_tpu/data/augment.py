@@ -37,6 +37,9 @@ class AugmentParams:
     do_scaling: bool = True
     scale_range: Tuple[float, float] = (0.7, 1.4)
     p_scale: float = 0.2
+    # DA3/DA5 / nnUNetTrainerV2_independentScalePerAxis: per-axis scale
+    independent_scale_per_axis: bool = False
+    p_independent_scale_per_axis: float = 0.3
     do_dummy_2D: bool = False
     do_mirror: bool = True
     mirror_axes: Tuple[int, ...] = (0, 1, 2)
@@ -44,14 +47,29 @@ class AugmentParams:
     gamma_range: Tuple[float, float] = (0.7, 1.5)
     p_gamma: float = 0.3
     gamma_retain_stats: bool = True
+    # DA3/DA5 additive brightness (BrightnessTransform)
+    do_additive_brightness: bool = False
+    additive_brightness_mu: float = 0.0
+    additive_brightness_sigma: float = 0.2
+    additive_brightness_p_per_sample: float = 0.3
+    additive_brightness_p_per_channel: float = 1.0
     mask_was_used_for_normalization: Optional[Dict[int, bool]] = None
     move_last_seg_channel_to_data: bool = False       # cascade
     all_segmentation_labels: Optional[List[int]] = None
     cascade_do_cascade_augmentations: bool = False
+    # cascade DA-variant knobs (nnUNetTrainerV2CascadeFullRes_DAVariants)
+    cascade_random_binary_transform_p: float = 0.4
+    cascade_random_binary_transform_p_per_label: float = 1.0
+    cascade_random_binary_transform_size: Tuple[int, int] = (1, 8)
+    cascade_remove_conn_comp_p: float = 0.2
+    cascade_remove_conn_comp_max_size_percent_threshold: float = 0.15
     border_val_seg: int = -1
     order_data: int = 3
     order_seg: int = 1
     deep_supervision_scales: Optional[List[List[float]]] = None
+    # region-based training (BraTS trainers): targets become one binary
+    # channel per region (channels-last float), training/regions.py
+    regions: Optional[Tuple[Tuple[int, ...], ...]] = None
 
 
 def get_patch_size(final_patch_size, rot_x, rot_y, rot_z, scale_range):
@@ -115,12 +133,18 @@ def spatial_augment_sample(data: np.ndarray, seg: np.ndarray,
         did_transform = True
 
     if params.do_scaling and rng.uniform() < params.p_scale:
-        if rng.uniform() < 0.5 and params.scale_range[0] < 1:
-            sc = rng.uniform(params.scale_range[0], 1.0)
+        def draw_scale():
+            if rng.uniform() < 0.5 and params.scale_range[0] < 1:
+                return rng.uniform(params.scale_range[0], 1.0)
+            return rng.uniform(max(params.scale_range[0], 1.0),
+                               params.scale_range[1])
+        if (params.independent_scale_per_axis
+                and rng.uniform() < params.p_independent_scale_per_axis):
+            # SpatialTransform independent_scale_for_each_axis (DA3/DA5,
+            # nnUNetTrainerV2_independentScalePerAxis)
+            M = M @ np.diag([draw_scale() for _ in range(3)])
         else:
-            sc = rng.uniform(max(params.scale_range[0], 1.0),
-                             params.scale_range[1])
-        M = M * sc
+            M = M * draw_scale()
         did_transform = True
 
     center_in = (in_shape - 1) / 2.0
@@ -212,6 +236,18 @@ def brightness_multiplicative(data, rng, p=0.15, rng_mult=(0.75, 1.25)):
         if rng.uniform() < p:
             for c in range(data.shape[1]):
                 data[b, c] *= rng.uniform(*rng_mult)
+    return data
+
+
+def additive_brightness(data, rng, mu=0.0, sigma=0.2, p_sample=0.3,
+                        p_channel=1.0):
+    """BrightnessTransform (additive gaussian shift; DA3/DA5 + the MMS /
+    fullEvals trainers set these knobs)."""
+    for b in range(data.shape[0]):
+        if rng.uniform() < p_sample:
+            for c in range(data.shape[1]):
+                if rng.uniform() < p_channel:
+                    data[b, c] += rng.normal(mu, sigma)
     return data
 
 
@@ -325,6 +361,12 @@ def augment_batch(batch: dict, params: AugmentParams,
         data = gaussian_noise(data, rng)
         data = gaussian_blur(data, rng)
         data = brightness_multiplicative(data, rng)
+        if params.do_additive_brightness:
+            data = additive_brightness(
+                data, rng, params.additive_brightness_mu,
+                params.additive_brightness_sigma,
+                params.additive_brightness_p_per_sample,
+                params.additive_brightness_p_per_channel)
         data = contrast_augmentation(data, rng)
         data = simulate_low_resolution(data, rng)
         data = gamma_augmentation(data, rng, p=0.1, invert_image=True,
@@ -351,11 +393,22 @@ def augment_batch(batch: dict, params: AugmentParams,
         data = move_seg_as_onehot_to_data(data, seg[:, -1], labels)
         if params.cascade_do_cascade_augmentations and not validation:
             data[:, -len(labels):] = cascade_augment_onehot(
-                data[:, -len(labels):], rng)
+                data[:, -len(labels):], rng,
+                p_binary_op=params.cascade_random_binary_transform_p,
+                p_per_label=(
+                    params.cascade_random_binary_transform_p_per_label),
+                strel_size=params.cascade_random_binary_transform_size,
+                p_remove_component=params.cascade_remove_conn_comp_p,
+                max_size_percent=(
+                    params.cascade_remove_conn_comp_max_size_percent_threshold))
         seg = seg[:, :1]
 
     seg = np.where(seg == -1, 0, seg)
     targets = downsample_targets(seg[:, 0].astype(np.int32),
                                  params.deep_supervision_scales)
+    if params.regions is not None:
+        from ..training.regions import convert_seg_to_regions
+        targets = [convert_seg_to_regions(t, params.regions)
+                   for t in targets]
     return {"data": np.ascontiguousarray(data, np.float32),
             "target": [np.ascontiguousarray(t) for t in targets]}

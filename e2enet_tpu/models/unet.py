@@ -32,6 +32,8 @@ class ShiftUNet(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     norm_op: str = "instance"           # architectural-variant knobs
     nonlin: str = "lrelu"
+    nonlin_before_norm: bool = False
+    seg_bias: bool = False
     # mirrored-equivalent model (flip-free mirror TTA; see
     # models/unetpp.ShiftUNetPlusPlus.flips)
     flips: Tuple[bool, bool, bool] = (False, False, False)
@@ -66,6 +68,7 @@ class ShiftUNet(nn.Module):
         cd = self.compute_dtype
         x = x.astype(cd)
         common = dict(norm_op=self.norm_op, nonlin=self.nonlin,
+                      nonlin_before_norm=self.nonlin_before_norm,
                       shift_size=self.shift_size, do_shift=self.do_shift,
                       compute_dtype=cd, flips=tuple(self.flips))
         Stack = (nn.remat(StackedConvBlocks, static_argnums=())
@@ -99,6 +102,7 @@ class ShiftUNet(nn.Module):
             h = Stack(features=enc[lvl], num_convs=1,
                                   name=f"loc_{u}_final", **common)(h)
             seg_outputs.append(SegHead(num_classes=self.num_classes,
+                                       use_bias=self.seg_bias,
                                        compute_dtype=cd,
                                        name=f"seg_head{u}")(h))
 

@@ -76,6 +76,8 @@ class ShiftUNetPlusPlus(nn.Module):
     # Non-default values force the XLA path (fused kernels bake IN+lrelu).
     norm_op: str = "instance"
     nonlin: str = "lrelu"
+    nonlin_before_norm: bool = False    # ConvDropoutNonlinNorm variants
+    seg_bias: bool = False              # *_biasInSegOutput variants
     # fused=True: run stride-1 conv blocks through the Pallas fused kernel
     # (ops/fused_block.py) at every level where it is supported; normalized
     # activations are then never materialized (consumers apply norm+lrelu on
@@ -171,6 +173,7 @@ class ShiftUNetPlusPlus(nn.Module):
         common = dict(shift_size=self.shift_size, do_shift=self.do_shift,
                       kernel=self.conv_kernel, compute_dtype=cd,
                       norm_op=self.norm_op, nonlin=self.nonlin,
+                      nonlin_before_norm=self.nonlin_before_norm,
                       flips=tuple(self.flips))
         # remat: store only block boundaries for the backward pass — the
         # full-res activations of every shift/conv/norm intermediate would
@@ -208,7 +211,8 @@ class ShiftUNetPlusPlus(nn.Module):
                 level_wp.append(0)      # level unusable for fusion
 
         default_norm = (self.norm_op == "instance"
-                        and self.nonlin == "lrelu")
+                        and self.nonlin == "lrelu"
+                        and not self.nonlin_before_norm)
 
         def fused_ok(i, part_channels, co):
             if not self.fused or self.conv_kernel != (1, 3, 3) \
@@ -692,12 +696,14 @@ class ShiftUNetPlusPlus(nn.Module):
                                        quadrant=(q0, Hq0, Wq0),
                                        emit_quadrant=emit_q,
                                        interpret=self.fused_interpret,
+                                       use_bias=self.seg_bias,
                                        name=f"seg_head{i}")(
                                            (v.raw, mult, off)))
                 continue
             head_in = as_cl(v, i)
             outputs.append(SegHead(num_classes=self.num_classes,
                                    compute_dtype=cd,
+                                   use_bias=self.seg_bias,
                                    name=f"seg_head{i}")(head_in))
         if do_ds:
             return outputs
@@ -741,7 +747,9 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
                   compute_dtype=jnp.bfloat16, norm_op: str = "instance",
                   nonlin: str = "lrelu", fused=None,
                   quadrant=None, quadrant_logits: bool = False,
-                  remat=None, quadrant_input=None, sparse_plan=None):
+                  remat=None, quadrant_input=None, sparse_plan=None,
+                  num_conv_per_stage=None, seg_bias: bool = False,
+                  nonlin_before_norm: bool = False):
     """Network factory by Tconv name.
     Parity: nnUNetTrainer_simple.initialize_network (:281-357).
     2D plans (patch D == 1) disable the depth shift — the reference never
@@ -755,6 +763,13 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
     arch = dict(norm_op=norm_op, nonlin=nonlin)
     if remat is not None:
         arch["remat"] = bool(remat)
+    if num_conv_per_stage is not None:
+        # nnUNetTrainerV2_3ConvPerStage[_samefilters]
+        arch["num_conv_per_stage"] = int(num_conv_per_stage)
+    if seg_bias:
+        arch["seg_bias"] = True
+    if nonlin_before_norm:
+        arch["nonlin_before_norm"] = True
     # quadrant knobs exist only on ShiftUNetPlusPlus (the quadrant path)
     qlog = dict(quadrant_logits=True) if quadrant_logits else {}
     if quadrant is not None:

@@ -135,7 +135,9 @@ NORM_OPS = {"instance": instance_norm, "batch": batch_norm,
             "none": lambda x, scale, bias: x}
 
 NONLINS = {"lrelu": leaky_relu, "relu": jax.nn.relu,
-           "gelu": jax.nn.gelu, "mish": mish, "none": lambda x: x}
+           "gelu": jax.nn.gelu, "mish": mish, "none": lambda x: x,
+           # nnUNetTrainerV2_LReLU_slope_2en1 (architectural_variants)
+           "lrelu2e1": lambda x: leaky_relu(x, 0.2)}
 
 
 def _precision_for(dtype):
@@ -323,6 +325,10 @@ class ShiftConvBlock(nn.Module):
     # gate fusion off for non-default values.
     norm_op: str = "instance"           # instance|batch|group|frn|none
     nonlin: str = "lrelu"               # lrelu|relu|gelu|mish|none
+    # conv -> nonlin -> norm order (ConvDropoutNonlinNorm,
+    # nnUNetTrainerV2_ReLU_convReLUIN / _lReLU_convlReLUIN). XLA path only
+    # (the fused kernels bake the default order).
+    nonlin_before_norm: bool = False
 
     fused: bool = False                 # run the Pallas fused-block kernel
     fused_hw: Optional[Tuple[int, int]] = None   # static (H, W) when fused
@@ -606,6 +612,11 @@ class ShiftConvBlock(nn.Module):
                                           flips=self.flips)
                 y = contrib if y is None else y + contrib
                 off += pc
+        if self.nonlin_before_norm:
+            # ConvDropoutNonlinNorm block order (generic_UNet.py): the
+            # nonlinearity applies to the raw conv output, the norm is last
+            return NORM_OPS[self.norm_op](NONLINS[self.nonlin](y), scale,
+                                          nbias)
         y = NORM_OPS[self.norm_op](y, scale, nbias)
         if self.norm_op == "frn":
             # FRN pairs with the thresholded linear unit: max(y, tau)
@@ -628,6 +639,7 @@ class StackedConvBlocks(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     norm_op: str = "instance"
     nonlin: str = "lrelu"
+    nonlin_before_norm: bool = False   # ConvDropoutNonlinNorm variants
     fused: bool = False
     fused_hw: Optional[Tuple[int, int]] = None
     fused_interpret: bool = False
@@ -727,6 +739,7 @@ class StackedConvBlocks(nn.Module):
                 shift_size=self.shift_size, do_shift=self.do_shift,
                 compute_dtype=self.compute_dtype,
                 norm_op=self.norm_op, nonlin=self.nonlin,
+                nonlin_before_norm=self.nonlin_before_norm,
                 flips=self.flips,
                 sparse_in=sin, sparse_in_full=sfull,
                 sparse_compact=scomp, sparse_out=sout,
@@ -829,7 +842,9 @@ class TranspConv(nn.Module):
 
 
 class SegHead(nn.Module):
-    """1x1x1 conv, no bias (seg_output_use_bias=False, unetpp_d.py:394-401).
+    """1x1x1 conv, no bias (seg_output_use_bias=False, unetpp_d.py:394-401;
+    use_bias=True is the nnUNetTrainerV2_ReLU_biasInSegOutput /
+    _lReLU_biasInSegOutput architectural variants).
     Output logits in float32.
     quadrant=(q, Hq, Wq): input is quadrant channels-first (N, Dq, Q*C, L);
     the 1x1 conv runs per block and only the (num_classes)-channel logits
@@ -843,6 +858,7 @@ class SegHead(nn.Module):
     # TTA unflip + softmax in quadrant space (ops/qfused.quadrant_flip)
     emit_quadrant: bool = False
     interpret: bool = False          # Pallas interpret mode (CPU tests)
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -877,6 +893,11 @@ class SegHead(nn.Module):
                     quadrant_apply_norm_lrelu(raw, mult, off), kernel)
             else:
                 y = block_1x1(x, kernel)
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.num_classes,))
+                y = y + jnp.tile(b.astype(y.dtype),
+                                 (Q,))[None, None, :, None]
             if self.emit_quadrant:
                 return y.astype(jnp.float32)
             return from_quadrant_cf(y, q, Hq, Wq,
@@ -887,4 +908,7 @@ class SegHead(nn.Module):
                     kernel.astype(self.compute_dtype),
                     preferred_element_type=jnp.float32,
                     precision=_precision_for(self.compute_dtype))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.num_classes,)).astype(y.dtype)
         return y.astype(jnp.float32)

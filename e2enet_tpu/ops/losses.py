@@ -108,14 +108,19 @@ def topk_cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
     return jnp.mean(vals)
 
 
-def make_loss(name: str, batch_dice: bool = True):
+def make_loss(name: str, batch_dice: bool = True, **loss_kwargs):
     """Resolve a loss by registry name to fn(logits, target) (the variant
-    trainers' loss dispatch)."""
+    trainers' loss dispatch). loss_kwargs are forwarded to the loss (e.g.
+    smooth=0 for nnUNetTrainerV2_Loss_DiceCE_noSmooth, weight_ce/weight_dice
+    for the CE->Dice transition trainer)."""
     fn = LOSS_REGISTRY[name]
     takes_batch_dice = name in ("dc_ce", "dice", "dice_squared", "gdl",
-                                "gdl_ce", "dc_topk")
+                                "gdl_ce", "dc_topk", "dc_bce",
+                                "dice_regions")
     if takes_batch_dice:
-        return lambda o, t: fn(o, t, batch_dice=batch_dice)
+        return lambda o, t: fn(o, t, batch_dice=batch_dice, **loss_kwargs)
+    if loss_kwargs:
+        return lambda o, t: fn(o, t, **loss_kwargs)
     return fn
 
 
@@ -123,10 +128,11 @@ def deep_supervision_loss(outputs: Sequence[jnp.ndarray],
                           targets: Sequence[jnp.ndarray],
                           weights: Sequence[float],
                           batch_dice: bool = True,
-                          loss_name: str = "dc_ce") -> jnp.ndarray:
+                          loss_name: str = "dc_ce",
+                          loss_kwargs=None) -> jnp.ndarray:
     """MultipleOutputLoss2 (deep_supervision.py:19-43): weighted sum of the
     configured loss over deep-supervision heads; zero-weight heads skipped."""
-    loss_fn = make_loss(loss_name, batch_dice)
+    loss_fn = make_loss(loss_name, batch_dice, **(loss_kwargs or {}))
     total = jnp.asarray(0.0, jnp.float32)
     for o, t, w in zip(outputs, targets, weights):
         if float(w) == 0.0:
@@ -257,6 +263,35 @@ def mcc_loss(logits: jnp.ndarray, target: jnp.ndarray,
     return -jnp.mean(mcc)
 
 
+def soft_dice_regions(logits: jnp.ndarray, target_onehot: jnp.ndarray,
+                      batch_dice: bool = False,
+                      smooth: float = 0.0) -> jnp.ndarray:
+    """SoftDiceLoss(apply_nonlin=sigmoid, do_bg=True, smooth=0) — the
+    nnUNetTrainerV2BraTSRegions_Dice loss (BraTS2020 trainer :192-198).
+    target_onehot: (..., R) 0/1 region channels."""
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    t = target_onehot.astype(jnp.float32)
+    axes = tuple(range(0 if batch_dice else 1, probs.ndim - 1))
+    tp = jnp.sum(probs * t, axis=axes)
+    fp = jnp.sum(probs * (1 - t), axis=axes)
+    fn = jnp.sum((1 - probs) * t, axis=axes)
+    dc = (2 * tp + smooth) / (2 * tp + fp + fn + smooth + 1e-8)
+    return -jnp.mean(dc)
+
+
+def hard_tp_fp_fn_regions(logits: jnp.ndarray, target_onehot: jnp.ndarray):
+    """Per-region hard counts for the online eval of region-based
+    trainers (nnUNetTrainerV2BraTSRegions.run_online_evaluation :120-131:
+    pred = sigmoid(out) > 0.5 per region channel)."""
+    pred = jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5
+    t = target_onehot > 0.5
+    axes = tuple(range(0, pred.ndim - 1))
+    tp = jnp.sum(pred & t, axis=axes).astype(jnp.float32)
+    fp = jnp.sum(pred & ~t, axis=axes).astype(jnp.float32)
+    fn = jnp.sum(~pred & t, axis=axes).astype(jnp.float32)
+    return tp, fp, fn
+
+
 LOSS_REGISTRY = {
     "dc_ce": dc_and_ce_loss,
     "mcc": mcc_loss,
@@ -269,6 +304,7 @@ LOSS_REGISTRY = {
     "ce": robust_cross_entropy,
     "focal": focal_loss,
     "dc_bce": dc_and_bce_loss,
+    "dice_regions": soft_dice_regions,
 }
 
 

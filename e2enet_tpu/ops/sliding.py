@@ -119,6 +119,12 @@ def _check_prob_dtype(prob_dtype, mirror_apply_fns):
     return prob_dtype
 
 
+def _nonlin_f32(logits, nonlin: str):
+    if nonlin == "sigmoid":
+        return jax.nn.sigmoid(logits)
+    return jax.nn.softmax(logits, axis=-1)
+
+
 def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
                          num_classes: int,
                          mirror_axes: Tuple[int, ...] = (0, 1, 2),
@@ -127,7 +133,8 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
                          tta_batch: int = 1,
                          quadrant_meta=None,
                          prob_dtype=None,
-                         mirror_apply_fns=None):
+                         mirror_apply_fns=None,
+                         nonlin: str = "softmax"):
     """Builds the jitted single-program sliding-window predictor.
 
     apply_fn(params, x) -> logits for x (B, pd, ph, pw, C_in), logits
@@ -152,6 +159,11 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
     bf16 halves the TTA unflip chain's HBM traffic (~138MB prob tensor
     reversed + selected per mirror pass) at bf16-model noise level.
 
+    nonlin: 'softmax' (default) or 'sigmoid' — region-based models
+    (BraTS regions trainers) accumulate per-region sigmoid probabilities
+    (inference_apply_nonlin, nnUNetTrainerV2BraTSRegions.py:76).
+    Sigmoid requires the plain (non-quadrant) path.
+
     Returned fn(params, volume, starts, n_valid) with
       volume: (X, Y, Z, C_in) padded so X,Y,Z >= patch
       starts: (T, 3) int32 tile starts (padded to a bucket size)
@@ -159,6 +171,8 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
     -> (probs_sum (X, Y, Z, num_classes), weights (X, Y, Z)) accumulators.
     """
     prob_dtype = _check_prob_dtype(prob_dtype, mirror_apply_fns)
+    assert nonlin == "softmax" or quadrant_meta is None, \
+        "sigmoid accumulation needs the plain (non-quadrant) path"
 
     @jax.jit
     def run(params, volume, starts, n_valid):
@@ -167,7 +181,7 @@ def make_tiled_predictor(apply_fn: Callable, patch_size: Tuple[int, ...],
             apply_fn, patch_size, num_classes, mirror_axes, do_mirroring,
             accum_dtype, tta_batch, params, volume, starts, n_valid,
             tile_ids, quadrant_meta=quadrant_meta, prob_dtype=prob_dtype,
-            mirror_apply_fns=mirror_apply_fns)
+            mirror_apply_fns=mirror_apply_fns, nonlin=nonlin)
 
     return run
 
@@ -231,7 +245,8 @@ def make_tiled_predictor_sharded(apply_fn: Callable,
 def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
                       do_mirroring, accum_dtype, tta_batch, params, volume,
                       starts, n_valid, tile_ids, quadrant_meta=None,
-                      prob_dtype=None, mirror_apply_fns=None):
+                      prob_dtype=None, mirror_apply_fns=None,
+                      nonlin: str = "softmax"):
     """Scan a (sub)list of tiles into local accumulators. tile_ids carries
     each tile's GLOBAL index so validity (id < n_valid) is preserved under
     sharding."""
@@ -376,13 +391,13 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
             prob_sum = jnp.zeros((pd, ph, pw, num_classes), jnp.float32)
             for fn_m in mirror_apply_fns:
                 logits = fn_m(params, patch[None])
-                prob_sum = prob_sum + jax.nn.softmax(
-                    logits[0].astype(jnp.float32), axis=-1)
+                prob_sum = prob_sum + _nonlin_f32(
+                    logits[0].astype(jnp.float32), nonlin)
         else:
             def tta_chunk(prob_sum, flags):
                 batch = jax.vmap(lambda f: apply_flips(patch, f))(flags)
                 logits = apply_fn(params, batch)
-                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                probs = _nonlin_f32(logits.astype(jnp.float32), nonlin)
                 unflipped = jax.vmap(apply_flips)(probs, flags)
                 return prob_sum + jnp.sum(unflipped, axis=0), None
 

@@ -89,7 +89,8 @@ def cascade_augment_onehot(data_onehot_channels: np.ndarray,
                            p_binary_op: float = 0.4,
                            strel_size=(1, 8),
                            p_remove_component: float = 0.2,
-                           max_size_percent: float = 0.15):
+                           max_size_percent: float = 0.15,
+                           p_per_label: float = 1.0):
     """Cascade-specific corruption of the prev-stage one-hot channels so the
     fullres net does not blindly trust them (pyramid_augmentations.py:
     ApplyRandomBinaryOperatorTransform +
@@ -102,6 +103,8 @@ def cascade_augment_onehot(data_onehot_channels: np.ndarray,
     for b in range(B):
         if rng.uniform() < p_binary_op:
             for l in range(L):
+                if rng.uniform() >= p_per_label:
+                    continue
                 op = ops[rng.randint(len(ops))]
                 size = rng.randint(strel_size[0], strel_size[1])
                 strel = np.ones((size,) * 3, bool)

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..ops.losses import deep_supervision_loss, hard_tp_fp_fn
+from ..ops.losses import (deep_supervision_loss, hard_tp_fp_fn,
+                          hard_tp_fp_fn_regions)
 from . import dsff
 
 GRAD_CLIP_NORM = 12.0
@@ -133,37 +134,59 @@ def make_train_step(model, ds_weights, batch_dice: bool = True,
                     donate: bool = True, jit_compile: bool = True,
                     loss_name: str = "dc_ce", momentum: float = MOMENTUM,
                     weight_decay: float = WEIGHT_DECAY,
-                    optimizer: str = "sgd"):
+                    optimizer: str = "sgd", loss_kwargs=None,
+                    dynamic_loss_weights: bool = False,
+                    dynamic_momentum: bool = False,
+                    do_ds: bool = True):
     """Returns jitted train_step(state, data, targets, lr) ->
     (state, metrics). data: (B, D, H, W, C) f32; targets: tuple of int32
     arrays per DS level. optimizer: 'sgd' (nesterov, reference default) |
     'ranger' (nnUNetTrainerV2_Ranger_*) | 'adam' (nnUNetTrainerV2_Adam*);
     state.momentum must have been created by create_train_state with the
-    same optimizer."""
+    same optimizer.
+    loss_kwargs: static extra kwargs for the configured loss (variant
+    presets, e.g. smooth=0).
+    dynamic_loss_weights: the step takes two extra TRACED args
+    (weight_ce, weight_dice) — per-epoch CE->Dice transition
+    (nnUNetTrainerV2_graduallyTransitionFromCEToDice) without recompiles.
+    dynamic_momentum: one extra traced arg `mom` (the per-epoch momentum
+    reduction of nnUNetTrainerV2_reduceMomentumDuringTraining)."""
     weights = [float(w) for w in ds_weights]
     if optimizer not in ("sgd", "ranger", "adam"):
         raise ValueError(f"unknown optimizer '{optimizer}'")
+    if dynamic_momentum and optimizer != "sgd":
+        raise ValueError("dynamic momentum is an SGD-only variant")
 
-    def loss_fn(params, data, targets):
+    def loss_fn(params, data, targets, extra_kw):
         # params are kept masked invariantly (create_train_state + the
         # post-update re-mask below), so gradients here are the FULL
         # gradients incl. dead kernels — matching the reference, where
         # apply_mask zeroes weight.data and grads flow at w=0 (needed by
         # kernel_grad_growth).
-        outs = model.apply({"params": params}, data, do_ds=True)
+        outs = model.apply({"params": params}, data, do_ds=do_ds)
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]     # ds_mode='none' (noDeepSupervision variant)
         loss = deep_supervision_loss(outs, targets, weights,
                                      batch_dice=batch_dice,
-                                     loss_name=loss_name)
+                                     loss_name=loss_name,
+                                     loss_kwargs={**(loss_kwargs or {}),
+                                                  **extra_kw})
         return loss
 
-    def train_step(state: TrainState, data, targets, lr):
+    def train_step(state: TrainState, data, targets, lr, *extras):
+        extras = list(extras)
+        extra_kw = {}
+        if dynamic_loss_weights:
+            extra_kw["weight_ce"] = extras.pop(0)
+            extra_kw["weight_dice"] = extras.pop(0)
+        mom = extras.pop(0) if dynamic_momentum else momentum
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, data, targets)
+            state.params, data, targets, extra_kw)
         grads, gnorm = clip_by_global_norm(grads, GRAD_CLIP_NORM)
         if optimizer == "sgd":
             new_params, new_momentum = sgd_nesterov_update(
                 state.params, state.momentum, grads, lr,
-                weight_decay=weight_decay, mom=momentum)
+                weight_decay=weight_decay, mom=mom)
         elif optimizer == "ranger":
             from .ranger import ranger_update
             new_params, new_momentum = ranger_update(
@@ -186,17 +209,30 @@ def make_train_step(model, ds_weights, batch_dice: bool = True,
 
 
 def make_eval_step(model, ds_weights, batch_dice: bool = True,
-                   loss_name: str = "dc_ce"):
+                   loss_name: str = "dc_ce", loss_kwargs=None,
+                   dynamic_loss_weights: bool = False,
+                   do_ds: bool = True, regions: bool = False):
     """Jitted validation iteration: loss + hard tp/fp/fn of the full-res
-    head (run_online_evaluation parity)."""
+    head (run_online_evaluation parity). regions=True switches the online
+    counts to per-region sigmoid thresholding
+    (nnUNetTrainerV2BraTSRegions.run_online_evaluation)."""
     weights = [float(w) for w in ds_weights]
 
-    def eval_step(params, data, targets):
-        outs = model.apply({"params": params}, data, do_ds=True)
+    def eval_step(params, data, targets, *extras):
+        extra_kw = ({"weight_ce": extras[0], "weight_dice": extras[1]}
+                    if dynamic_loss_weights else {})
+        outs = model.apply({"params": params}, data, do_ds=do_ds)
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]
         loss = deep_supervision_loss(outs, targets, weights,
                                      batch_dice=batch_dice,
-                                     loss_name=loss_name)
-        tp, fp, fn = hard_tp_fp_fn(outs[0], targets[0])
+                                     loss_name=loss_name,
+                                     loss_kwargs={**(loss_kwargs or {}),
+                                                  **extra_kw})
+        if regions:
+            tp, fp, fn = hard_tp_fp_fn_regions(outs[0], targets[0])
+        else:
+            tp, fp, fn = hard_tp_fp_fn(outs[0], targets[0])
         return {"loss": loss, "tp": tp, "fp": fp, "fn": fn}
 
     return jax.jit(eval_step)
