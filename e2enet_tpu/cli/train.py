@@ -162,7 +162,11 @@ def main(args=None):
                             "num_conv_per_stage", "seg_bias",
                             "nonlin_before_norm", "batch_dice",
                             "base_num_features", "regions", "ds_mode",
-                            "validate_every", "export_kwargs")})
+                            "validate_every", "export_kwargs",
+                            "conv_kernel")})
+    if "tconv" in preset:
+        # architecture-swapping variants (ResencUNet) override -Tconv
+        kwargs["tconv"] = preset["tconv"]
     if "da" in preset:
         kwargs["da_level"] = preset["da"]
     if "loss" in preset:

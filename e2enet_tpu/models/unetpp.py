@@ -749,7 +749,7 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
                   quadrant=None, quadrant_logits: bool = False,
                   remat=None, quadrant_input=None, sparse_plan=None,
                   num_conv_per_stage=None, seg_bias: bool = False,
-                  nonlin_before_norm: bool = False):
+                  nonlin_before_norm: bool = False, conv_kernel=None):
     """Network factory by Tconv name.
     Parity: nnUNetTrainer_simple.initialize_network (:281-357).
     2D plans (patch D == 1) disable the depth shift — the reference never
@@ -770,6 +770,10 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
         arch["seg_bias"] = True
     if nonlin_before_norm:
         arch["nonlin_before_norm"] = True
+    if conv_kernel is not None:
+        # nnUNetTrainerV2_allConv3x3 (:44-46): every conv kernel forced to
+        # (3,3,3); the shift is auto-disabled (it applies iff (1,3,3))
+        arch["conv_kernel"] = tuple(int(k) for k in conv_kernel)
     # quadrant knobs exist only on ShiftUNetPlusPlus (the quadrant path)
     qlog = dict(quadrant_logits=True) if quadrant_logits else {}
     if quadrant is not None:
@@ -812,6 +816,17 @@ def build_network(plans_stage, num_modalities: int, num_classes_incl_bg: int,
             pool_op_kernel_sizes=pools, base_num_features=base_num_features,
             do_shift=False, conv_kernel=kern, compute_dtype=compute_dtype,
             **arch)
+    if tconv == "resenc":
+        # residual-encoder UNet (FabiansUNet) — the ResencUNet trainer
+        # variants (nnUNetTrainerV2_ResencUNet.py)
+        from .resenc import ResidualUNet
+        arch.pop("conv_kernel", None)
+        arch.pop("nonlin_before_norm", None)
+        return ResidualUNet(
+            input_channels=num_modalities, num_classes=num_classes_incl_bg,
+            pool_op_kernel_sizes=pools,
+            base_num_features=base_num_features,
+            compute_dtype=compute_dtype, **arch)
     if tconv in ("ori", "shiftConvPP_nodff"):
         from .unet import ShiftUNet
         return ShiftUNet(

@@ -178,6 +178,31 @@ def conv3d_one_flat(x: jnp.ndarray, kernel: jnp.ndarray,
     return jnp.transpose(y, inv)
 
 
+def conv3d_full(x: jnp.ndarray, kernel: jnp.ndarray,
+                bias: Optional[jnp.ndarray],
+                stride: Tuple[int, int, int],
+                compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Direct 3D conv, channels-last NDHWC, SAME-style padding (k//2 per
+    side). Serves kernels with NO size-1 axis — the allConv3x3 ablation
+    (nnUNetTrainerV2_allConv3x3.py:44-46 sets every kernel to 3) and the
+    residual-encoder UNet (generic_modular_residual_UNet.py). XLA tiles
+    3D convs onto the MXU directly; the batched-2D lowering only wins when
+    one axis is flat."""
+    kd, kh, kw = kernel.shape[0], kernel.shape[1], kernel.shape[2]
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), kernel.astype(compute_dtype),
+        window_strides=tuple(stride),
+        padding=((kd // 2, kd // 2), (kh // 2, kh // 2),
+                 (kw // 2, kw // 2)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=compute_dtype,
+        precision=_precision_for(compute_dtype),
+    )
+    if bias is not None:
+        y = y + bias.astype(compute_dtype)
+    return y
+
+
 def conv3d_as_2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
                  stride: Tuple[int, int, int],
                  compute_dtype=jnp.bfloat16,
@@ -530,8 +555,41 @@ class ShiftConvBlock(nn.Module):
 
         kd, kh, kw = self.kernel
         flat_axes = [i for i, k in enumerate(self.kernel) if k == 1]
-        assert len(flat_axes) >= 1, \
-            "E2ENet convs have a size-1 kernel axis (1,3,3)/(3,1,3)/(3,3,1)"
+        if not flat_axes:
+            # full 3D kernel (allConv3x3 ablation / residual-encoder UNet):
+            # direct NDHWC conv, no depth shift (torch_shift is (1,3,3)-
+            # only in the reference), mirrored operators unsupported (the
+            # TTA predictor flips data for these models)
+            assert not any(self.flips), "3D kernels use data-flip TTA"
+            parts = x if isinstance(x, (list, tuple)) else [x]
+            cin3 = sum(int(p.shape[-1]) for p in parts)
+            kernel = self.param("kernel", he_normal_leaky(),
+                                (kd, kh, kw, cin3, self.features))
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            scale = self.param("norm_scale", nn.initializers.ones,
+                               (self.features,))
+            nbias = self.param("norm_bias", nn.initializers.zeros,
+                               (self.features,))
+            y = None
+            off = 0
+            for part in parts:
+                pc = int(part.shape[-1])
+                ksl = jax.lax.slice_in_dim(kernel, off, off + pc, axis=-2)
+                contrib = conv3d_full(part, ksl,
+                                      bias if y is None else None,
+                                      self.stride, self.compute_dtype)
+                y = contrib if y is None else y + contrib
+                off += pc
+            if self.nonlin_before_norm:
+                return NORM_OPS[self.norm_op](NONLINS[self.nonlin](y),
+                                              scale, nbias)
+            y = NORM_OPS[self.norm_op](y, scale, nbias)
+            if self.norm_op == "frn":
+                tau = self.param("frn_tau", nn.initializers.zeros,
+                                 (self.features,))
+                return jnp.maximum(y, tau.astype(y.dtype))
+            return NONLINS[self.nonlin](y)
         flat_axis = flat_axes[0]
         spatial = tuple(k for k in self.kernel if k != 1) or (1, 1)
         if len(spatial) == 1:

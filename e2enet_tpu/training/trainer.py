@@ -72,7 +72,8 @@ class TPUTrainer:
                  nonlin_before_norm: bool = False,
                  regions=None, ds_mode: str = "standard",
                  validate_every: Optional[int] = None,
-                 export_kwargs: Optional[dict] = None):
+                 export_kwargs: Optional[dict] = None,
+                 conv_kernel=None):
         self.plans = plans
         self.fold = fold
         self.stage = stage
@@ -135,6 +136,8 @@ class TPUTrainer:
         self.ds_mode = ds_mode
         self.validate_every = validate_every
         self.export_kwargs = dict(export_kwargs) if export_kwargs else None
+        self.conv_kernel_override = (tuple(conv_kernel) if conv_kernel
+                                     else None)
         self.train_loss_MA = None            # network_trainer.py:95-105
         self.train_loss_MA_alpha = 0.93
         self._plateau = None
@@ -203,7 +206,8 @@ class TPUTrainer:
             remat=remat,
             num_conv_per_stage=self.num_conv_per_stage_override,
             seg_bias=self.seg_bias,
-            nonlin_before_norm=self.nonlin_before_norm)
+            nonlin_before_norm=self.nonlin_before_norm,
+            conv_kernel=self.conv_kernel_override)
         self.num_pool = len(self.stage_plan.pool_op_kernel_sizes)
         n_out = self.network.num_ds_outputs()
         self.ds_weights = ds_loss_weights(self.num_pool, n_out)

@@ -78,6 +78,25 @@ VARIANTS: Dict[str, Dict[str, Any]] = {
     "nnUNetTrainerV2_3ConvPerStage": {"num_conv_per_stage": 3,
                                       "base_num_features": 24},
     "nnUNetTrainerV2_3ConvPerStageSameFilters": {"num_conv_per_stage": 3},
+    # nnUNetTrainerV2_allConv3x3.py:44-46 (all kernels (3,3,3); the depth
+    # shift auto-disables — torch_shift applies iff (1,3,3))
+    "nnUNetTrainerV2_allConv3x3": {"conv_kernel": (3, 3, 3)},
+    # residual-encoder UNet variants (models/resenc.py, FabiansUNet;
+    # base 24 per default_base_num_features)
+    "nnUNetTrainerV2_ResencUNet": {"tconv": "resenc",
+                                   "base_num_features": 24},
+    "nnUNetTrainerV2_ResencUNet_DA3": {"tconv": "resenc",
+                                       "base_num_features": 24,
+                                       "da": "da3"},
+    "nnUNetTrainerV2_ResencUNet_DA3_BN": {"tconv": "resenc",
+                                          "base_num_features": 24,
+                                          "da": "da3",
+                                          "norm_op": "batch"},
+    # nnUNetTrainerV2_softDeepSupervision is DEAD in the reference: its
+    # MyDSLoss4 comes from an external 'meddec' project and the trainer
+    # raises "This aint ready for prime time yet" without it
+    # (architectural_variants/nnUNetTrainerV2_softDeepSupervision.py:18-23,
+    # :74-75) — excluded, matching the SURVEY dead-code policy.
     # --- optimizer / lr schedules (nnUNet_variants/optimizer_and_lr/*,
     # schedules in training/lr.py)
     "nnUNetTrainerV2_warmup": {"lr_schedule": "warmup",
