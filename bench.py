@@ -45,14 +45,17 @@ def main():
                     help="mirror TTA via statically mirrored operators "
                          "(no data flips/unflips; exact same math). "
                          "0 = per-pass flip+select TTA")
-    ap.add_argument("--sparse_density", type=float, default=None,
-                    help="bench the DSFF row-sparse inference path: build "
-                         "a row mask at this density (the reference "
-                         "training recipe is --density 0.2, README.md:44-"
-                         "49), bake w*mask, and run with the static "
-                         "sparse plan (models/sparse_plan.py). The JSON "
-                         "line then reports the sparse number with the "
-                         "density in the unit string")
+    ap.add_argument("--sparse_density", type=float, default=0.2,
+                    help="DSFF row-sparse inference density. The DEFAULT "
+                         "(0.2) matches the reference's headline training "
+                         "recipe (README.md:44-49, --density 0.2): a row "
+                         "mask at this density is baked as w*mask (the "
+                         "reference's inference semantics) and the static "
+                         "sparse plan (models/sparse_plan.py) skips the "
+                         "dead rows. The unit string records the density. "
+                         "--dense benches the fully-dense model instead")
+    ap.add_argument("--dense", action="store_true",
+                    help="bench the dense model (no DSFF mask)")
     ap.add_argument("--accum", choices=["f32", "f16", "bf16"],
                     default="f16",
                     help="sliding-window accumulator dtype. Default f16 = "
@@ -95,6 +98,8 @@ def main():
     log(f"params: {n_params/1e6:.2f}M  patch={patch}  volume={vol_shape}")
 
     sparse_tag = ""
+    if args.dense:
+        args.sparse_density = None
     if args.sparse_density is not None:
         # density-d row-sparse "checkpoint": row masks (dsff granularity=
         # 'row'), dense-masked params (the reference inference semantics),
