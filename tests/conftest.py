@@ -21,6 +21,59 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 REFERENCE_DIR = "/root/reference"
 
+# Tests measured >5s warm-cache on the 1-CPU host (pytest --durations,
+# round-4 run: 251 tests, 21:39 cold / ~4 min warm). Everything else is
+# auto-marked `quick` so `-m quick` gives a ~2-min smoke signal before
+# committing; `-m slow` runs the heavy remainder. Keep this list in sync
+# when adding big model/pipeline tests.
+_SLOW_TESTS = {
+    "test_flips.py::test_full_model_flips",
+    "test_flips.py::test_flip_free_sliding_matches_flip_tta",
+    "test_flips.py::test_quadrant_fused_block_flips",
+    "test_flips.py::test_qstride_kernel_flips",
+    "test_qfused.py::test_sliding_with_quadrant_logits_matches_plain",
+    "test_qfused.py::test_model_quadrant_grad_matches",
+    "test_qfused.py::test_model_quadrant_matches_xla_path",
+    "test_qfused.py::test_lazy_up_matches_materialized",
+    "test_qfused.py::test_backward_matches_xla_reference",
+    "test_qfused.py::test_backward_chunked_matches_xla_reference",
+    "test_parallel.py::test_dryrun_multichip",
+    "test_sparse_plan.py::test_sparse_plan_quadrant_logits_and_bf16",
+    "test_sparse_plan.py::test_sparse_forward_matches_dense_masked",
+    "test_sparse_plan.py::test_sparse_plan_skips_unstructured_masks",
+    "test_end_to_end.py::test_full_pipeline",
+    "test_end_to_end.py::test_continue_training_and_ensemble",
+    "test_end_to_end.py::test_2d_pipeline",
+    "test_end_to_end.py::test_tconv_ori_and_nodff",
+    "test_pipeline_parity.py::test_full_predict_pipeline_matches_reference",
+    "test_model.py::test_param_count_parity",
+    "test_model.py::test_output_shapes_and_ds",
+    "test_model.py::test_forward_parity_with_reference",
+    "test_components.py::test_grasp_init",
+    "test_components.py::test_element_masks_and_snip",
+    "test_training_parity.py::test_train_step_matches_reference_torch",
+    "test_resenc.py::test_resenc_shapes_and_ds",
+    "test_resenc.py::test_resenc_forward_parity",
+    "test_resenc.py::test_allconv3x3_model_builds",
+    "test_qstride.py::test_grad_matches_reference_exactly",
+    "test_fused_block.py::test_model_fused_grad_matches",
+    "test_fused_block.py::test_model_fused_matches_xla_path",
+    "test_fused_block.py::test_fused_grad_matches_oracle",
+    "test_cascade.py::test_cascade_pipeline",
+    "test_dsff.py::test_global_update_density_schedule",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    for item in items:
+        key = "%s::%s" % (os.path.basename(str(item.fspath)),
+                          item.name.split("[")[0])
+        if key in _SLOW_TESTS:
+            item.add_marker(_pytest.mark.slow)
+        else:
+            item.add_marker(_pytest.mark.quick)
+
 
 def has_reference():
     return os.path.isdir(REFERENCE_DIR)
