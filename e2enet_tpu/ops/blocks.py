@@ -899,6 +899,45 @@ class TranspConv(nn.Module):
         return transp_conv_matmul(x, kernel, self.stride, self.compute_dtype)
 
 
+def _seghead_block_einsum(xb, w, compute_dtype):
+    """Per-Q-block 1x1 head einsum with f32 logits. For non-f32 compute
+    dtypes the input cotangent is computed in the COMPUTE dtype (gy cast
+    to bf16 before the transpose dot): default XLA AD follows the f32
+    logits dtype and emits a full-width f32 (N, Dq, Q, C, L) cotangent —
+    at Heart train geometry a 990 MB tensor whose layout copy + f32
+    consumer fusions cost ~6 ms/step (PERF_NOTES round-11). The weight
+    gradient keeps f32 accumulation. f32 models use plain AD so the
+    calibrated f32 golden-parity programs are unchanged."""
+    precision = _precision_for(compute_dtype)
+    if jnp.dtype(compute_dtype) == jnp.float32:
+        return jnp.einsum("ndqcl,ck->ndqkl", xb, w,
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
+
+    @jax.custom_vjp
+    def f(xb, w):
+        return jnp.einsum("ndqcl,ck->ndqkl", xb, w,
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
+
+    def fwd(xb, w):
+        return f(xb, w), (xb, w)
+
+    def bwd(res, gy):
+        xb, w = res
+        gyc = gy.astype(compute_dtype)
+        gx = jnp.einsum("ndqkl,ck->ndqcl", gyc, w,
+                        preferred_element_type=jnp.float32,
+                        precision=precision).astype(xb.dtype)
+        gw = jnp.einsum("ndqcl,ndqkl->ck", xb, gyc,
+                        preferred_element_type=jnp.float32,
+                        precision=precision).astype(w.dtype)
+        return gx, gw
+
+    f.defvjp(fwd, bwd)
+    return f(xb, w)
+
+
 class SegHead(nn.Module):
     """1x1x1 conv, no bias (seg_output_use_bias=False, unetpp_d.py:394-401;
     use_bias=True is the nnUNetTrainerV2_ReLU_biasInSegOutput /
@@ -932,10 +971,8 @@ class SegHead(nn.Module):
 
             def block_1x1(xq, w):
                 xb = xq.reshape(N, Dq, Q, cin, L).astype(self.compute_dtype)
-                y = jnp.einsum("ndqcl,ck->ndqkl", xb,
-                               w.astype(self.compute_dtype),
-                               preferred_element_type=jnp.float32,
-                               precision=_precision_for(self.compute_dtype))
+                y = _seghead_block_einsum(xb, w.astype(self.compute_dtype),
+                                          self.compute_dtype)
                 return y.reshape(N, Dq, Q * self.num_classes, L)
 
             if pending_in:

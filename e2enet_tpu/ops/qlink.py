@@ -11,11 +11,14 @@ grid-(N, D) Pallas kernel with standard BlockSpec pipelining (Mosaic
 double-buffers the HBM traffic automatically — no manual DMA, none of the
 ring machinery of qfused.py).
 
-Each public op is a jax.custom_vjp whose BACKWARD delegates to jax.vjp of
-the XLA twin (the twin's forward dot is dead-code-eliminated inside the
-vjp, so the backward is the closed form): training cost AND numerics are
-bit-identical to the pre-kernel path, which keeps the step-level training
-parity tests (tests/test_training_parity.py) pinning the same program.
+Each public op is a jax.custom_vjp. The up-link/seg-head BACKWARDs
+delegate to jax.vjp of the XLA twin (the twin's forward dot is
+dead-code-eliminated inside the vjp, so the backward is the closed form):
+training cost AND numerics are bit-identical to the pre-kernel path. The
+down-link backward is hand-derived (same subgradient semantics as the
+twin's vjp, f32 cotangent chain instead of the twin's bf16) because the
+delegated form re-materialized the twin's forward intermediates to HBM —
+see the bwd comment in downlink_block_max and PERF_NOTES round-10/11.
 
 Reference semantics: the transposed-conv up-link, max-pool down-link and
 1x1 seg heads of Generic_UNetPlusPlus
@@ -241,11 +244,120 @@ def downlink_block_max(x, mult, off, C: int, Hq: int, Wq: int, xla_fn,
         return run(x, mult, off), (x, mult, off)
 
     def bwd(res, gy):
+        # ONE streamed Pallas pass when VMEM allows (the XLA AD of the
+        # twin splits into two kLoop fusions per site with ~28
+        # materialized pred-mask intermediates — ~20-26 ms/train-step
+        # over the 4 Heart-geometry sites, PERF_NOTES round-11; the
+        # equivalent hand-written XLA bwd measured the same). The kernel
+        # recomputes the block max/min chains in VMEM and routes the
+        # pooled gradient with the twin's EXACT jnp.maximum subgradient
+        # semantics (ties split 0.5 at every pairwise chain step), so
+        # grads match the twin's vjp up to f32-vs-bf16 cotangent rounding
+        # (tests/test_qlink.py::test_downlink_grads_identical_to_xla).
+        xr, mult_r, off_r = res
+        if _downlink_bwd_vmem(Q, C, L) < _VMEM_BUDGET:
+            rows = _pick_rows(Dq, _downlink_bwd_vmem(Q, C, L))
+            call = _downlink_bwd_call(N, Dq, Q, C, L, rows,
+                                      bool(interpret))
+            m = mult_r.astype(jnp.float32).reshape(N, 1, C, 1)
+            o = off_r.astype(jnp.float32).reshape(N, 1, C, 1)
+            sel = (mult_r > 0).astype(jnp.float32).reshape(N, 1, C, 1)
+            gx, gm, go = call(
+                xr, gy, m, o, sel,
+                quadrant_colmask(Hq, Wq, Wqp).astype(jnp.float32))
+            gmult = jnp.sum(gm, axis=(1, 3)).astype(mult_r.dtype)
+            goff = jnp.sum(go, axis=(1, 3)).astype(off_r.dtype)
+            return gx, gmult, goff
         _, pullback = jax.vjp(xla_fn, *res)
         return pullback(gy)
 
     f.defvjp(fwd, bwd)
     return f(x, mult, off)
+
+
+def _downlink_bwd_kernel(x_ref, gy_ref, m_ref, o_ref, sel_ref, cm_ref,
+                         gx_ref, gm_ref, go_ref, *, rows, Q, C):
+    m, o, sel = m_ref[0, 0], o_ref[0, 0], sel_ref[0, 0]   # (C, 1) f32
+    use_max = sel > 0
+    for r in range(rows):
+        x = x_ref[0, r]                                   # (Q*C, L) bf16
+        # blocks lifted to f32 once: Mosaic's VPU has no bf16 compare
+        # (arith.cmpf on bf16 fails to lower) and f32 max/compare on
+        # exact bf16 values is bit-equivalent
+        blocks = [x[k * C:(k + 1) * C].astype(jnp.float32)
+                  for k in range(Q)]
+        run_max, run_min = [blocks[0]], [blocks[0]]
+        for k in range(1, Q):
+            run_max.append(jnp.maximum(run_max[-1], blocks[k]))
+            run_min.append(jnp.minimum(run_min[-1], blocks[k]))
+        pick = jnp.where(use_max, run_max[-1], run_min[-1])
+        a = pick * m + o
+        ga = gy_ref[0, r].astype(jnp.float32) * cm_ref[...]
+        ga = jnp.where(a >= 0, ga, ga * LRELU_SLOPE)      # lrelu bwd
+        gm_ref[0, r] = jnp.sum(ga * pick, axis=1, keepdims=True)
+        go_ref[0, r] = jnp.sum(ga, axis=1, keepdims=True)
+        gpick = ga * m
+
+        # Walk each chain backward: w_xk = (x_k beats M_{k-1}) +
+        # 0.5*(tie); w_prev = 1 - w_xk.
+        def chain_route(cmp_gt):
+            run = run_max if cmp_gt else run_min
+            g = jnp.where(use_max if cmp_gt else ~use_max, gpick, 0.0)
+            gxs = [None] * Q
+            for k in range(Q - 1, 0, -1):
+                prev = run[k - 1]
+                beats = (blocks[k] > prev) if cmp_gt else (blocks[k] < prev)
+                w = beats.astype(jnp.float32) \
+                    + 0.5 * (blocks[k] == prev).astype(jnp.float32)
+                gxs[k] = g * w
+                g = g * (1.0 - w)
+            gxs[0] = g
+            return gxs
+
+        gmaxs = chain_route(True)
+        gmins = chain_route(False)
+        for k in range(Q):
+            gx_ref[0, r, k * C:(k + 1) * C] = \
+                (gmaxs[k] + gmins[k]).astype(gx_ref.dtype)
+
+
+def _downlink_bwd_vmem(Q: int, C: int, L: int) -> int:
+    """Rows=1 VMEM model for the bwd kernel: double-buffered x/gy in and
+    gx out, the f32 chain prefixes, and the f32 routing temps."""
+    io = 2 * (Q * C * L * 2 + C * L * 2 + Q * C * L * 2)
+    chains = 2 * (Q - 1) * C * L * 4
+    temps = 8 * C * L * 4
+    return io + chains + temps + 2 ** 20
+
+
+@functools.lru_cache(maxsize=64)
+def _downlink_bwd_call(N, Dq, Q, C, L, rows, interpret):
+    def spec(c, lanes, dtype, affine=False):
+        if affine:
+            return pl.BlockSpec((1, 1, c, lanes), lambda n, d: (n, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, rows, c, lanes), lambda n, d: (n, d, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_downlink_bwd_kernel, rows=rows, Q=Q, C=C),
+        grid=(N, Dq // rows),
+        in_specs=[spec(Q * C, L, jnp.bfloat16),
+                  spec(C, L, jnp.bfloat16),
+                  spec(C, 1, jnp.float32, affine=True),
+                  spec(C, 1, jnp.float32, affine=True),
+                  spec(C, 1, jnp.float32, affine=True),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[spec(Q * C, L, jnp.bfloat16),
+                   spec(C, 1, jnp.float32),
+                   spec(C, 1, jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((N, Dq, Q * C, L), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((N, Dq, C, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((N, Dq, C, 1), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_BUDGET))
 
 
 # --------------------------------------------------------------------------
