@@ -533,6 +533,20 @@ class ShiftUNetPlusPlus(nn.Module):
                     assert set(own) <= set(producer_u[p])
                     per_part.append(producer_u[p])
                     compact.append(True)
+                elif i <= max(0, self.fused_max_level):
+                    # DENSE producer (encoder/stem or a dense-emitting
+                    # node) feeding a fused/quadrant kernel: keep the
+                    # FULL part and contract its dead rows with their
+                    # zero kernel rows instead of gathering the
+                    # activations. The gather on a full (Q*C, L) tensor
+                    # costs ~0.7 ms/call in S(1) layout copies (round-11
+                    # sparse trace: ~42 ms/volume on the encoder-fed
+                    # part alone) while the extra MXU rows cost ~0.04 ms
+                    # — the FLOP cut only pays when the producer already
+                    # emits compact. Deeper (XLA-path) levels keep the
+                    # gather: XLA fuses it into the small convs.
+                    per_part.append(tuple(range(part_channels[p])))
+                    compact.append(False)
                 else:
                     per_part.append(pad8(own, part_channels[p]))
                     compact.append(False)
