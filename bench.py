@@ -56,6 +56,14 @@ def main():
                          "--dense benches the fully-dense model instead")
     ap.add_argument("--dense", action="store_true",
                     help="bench the dense model (no DSFF mask)")
+    ap.add_argument("--masks_from", default=None,
+                    help="load DSFF masks from a native training "
+                         "checkpoint (.model npz) instead of synthesizing "
+                         "random row masks — benches the sparse plan a "
+                         "REAL row-granular DSFF training run produced "
+                         "(VERDICT r04 weak #3). The checkpoint's model "
+                         "must match the bench architecture (48 base "
+                         "features, 5x(2,2,2) pools)")
     ap.add_argument("--accum", choices=["f32", "f16", "bf16"],
                     default="f16",
                     help="sliding-window accumulator dtype. Default f16 = "
@@ -100,22 +108,41 @@ def main():
     sparse_tag = ""
     if args.dense:
         args.sparse_density = None
-    if args.sparse_density is not None:
-        # density-d row-sparse "checkpoint": row masks (dsff granularity=
-        # 'row'), dense-masked params (the reference inference semantics),
-        # and the static sparse plan that skips the dead rows
-        from e2enet_tpu.models.sparse_plan import build_sparse_plan
+    if args.masks_from or args.sparse_density is not None:
+        from e2enet_tpu.models.sparse_plan import build_sparse_plan, \
+            plan_density
         from e2enet_tpu.training import dsff
-        d = args.sparse_density
-        masks = dsff.init_masks_row(params["params"], d,
-                                    jax.random.PRNGKey(7),
-                                    density_48_override=d)
+        if args.masks_from:
+            # masks from a REAL row-granular DSFF training run: the
+            # checkpoint's mask pytree replaces the synthetic row draw,
+            # so the plan's density/union structure is what training
+            # actually produced
+            from e2enet_tpu.training.checkpoint import load_checkpoint
+            state, _epoch, _meta = load_checkpoint(args.masks_from)
+            masks = {k: jnp.asarray(v) for k, v in state.masks.items()}
+            have = set(dsff.select_masked(params["params"]))
+            assert set(masks) == have, (
+                f"checkpoint mask tree does not match the bench model: "
+                f"{sorted(set(masks) ^ have)[:4]} ...")
+            d = float(np.asarray(dsff.masks_density(
+                masks, params["params"])))
+            log(f"masks from {args.masks_from}: overall density {d:.4f}")
+        else:
+            # density-d row-sparse "checkpoint": row masks (dsff
+            # granularity='row'), dense-masked params (the reference
+            # inference semantics), and the static sparse plan that
+            # skips the dead rows
+            d = args.sparse_density
+            masks = dsff.init_masks_row(params["params"], d,
+                                        jax.random.PRNGKey(7),
+                                        density_48_override=d)
         params = {"params": dsff.apply_masks(params["params"], masks)}
         plan = build_sparse_plan(masks)
         assert plan, "row mask produced no sparse plan"
         model = model.clone(sparse_plan=plan)
         sparse_tag = f"_rowsparse{d:g}"
-        log(f"row-sparse plan: {len(plan)} convs at density {d:g}")
+        log(f"row-sparse plan: {len(plan)} convs, plan row density "
+            f"{plan_density(plan, masks):.4f}")
 
     apply_fn = lambda p, x: model.apply(p, x, do_ds=False)
     qmeta = (((2, 2, 2), patch[1] // 2, patch[2] // 2)
@@ -198,15 +225,24 @@ def main():
             prob_dtype=None, mirror_apply_fns=mirror_fns)
         acc, w = exact_pred(params, vol, starts_j, n_valid)
         np.asarray(acc[0, 0, 0, :1])  # compile+warm
-        t0 = time.time()
-        for _ in range(reps):
-            acc, w = exact_pred(params, vol, starts_j, n_valid)
-            vol = vol + 0.0 * acc[..., :1].astype(vol.dtype)
-        np.asarray(acc[0, 0, 0, :1])
-        np.asarray(vol[0, 0, 0, :1])
-        g = (time.time() - t0) / reps
-        log(f"exact-f32 mode: {g*1000:.1f} ms/volume, "
-            f"{n_tiles * tta / g:.2f} patches/sec (headline is fast mode)")
+        # same best-of-3 methodology as the headline: a single chained
+        # group can land in a slow tunnel/interference window (BENCH_r04
+        # measured the companion 3x slow in exactly one group while the
+        # headline's best-of-3 was unaffected)
+        ebest = float("inf")
+        for _ in range(groups):
+            t0 = time.time()
+            for _ in range(reps):
+                acc, w = exact_pred(params, vol, starts_j, n_valid)
+                vol = vol + 0.0 * acc[..., :1].astype(vol.dtype)
+            np.asarray(acc[0, 0, 0, :1])
+            np.asarray(vol[0, 0, 0, :1])
+            g = (time.time() - t0) / reps
+            ebest = min(ebest, g)
+            log(f"  exact group: {g*1000:.1f} ms/volume")
+        log(f"exact-f32 mode: {ebest*1000:.1f} ms/volume, "
+            f"{n_tiles * tta / ebest:.2f} patches/sec "
+            f"(headline is fast mode)")
 
     # scale CPU smoke numbers to nothing — only report honestly on TPU
     result = {

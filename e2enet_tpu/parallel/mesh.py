@@ -66,7 +66,9 @@ def make_sharded_train_step(model, ds_weights, mesh: Mesh,
     """jitted train step with explicit shardings: state replicated, batch
     dp+sp sharded. XLA emits the gradient all-reduce over 'data' and conv
     halo exchanges over 'space'. step_kwargs forward to make_train_step
-    (loss_name, momentum, ...)."""
+    (loss_name, momentum, ...). Schedule variants (dynamic_loss_weights /
+    dynamic_momentum) add replicated traced-scalar args, exactly as in the
+    single-device step."""
     from ..training.train_state import make_train_step
     step = make_train_step(model, ds_weights, batch_dice, donate=False,
                            jit_compile=False, **step_kwargs)
@@ -74,8 +76,10 @@ def make_sharded_train_step(model, ds_weights, mesh: Mesh,
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     tsh = target_sharding(mesh)
+    n_extra = ((2 if step_kwargs.get("dynamic_loss_weights") else 0)
+               + (1 if step_kwargs.get("dynamic_momentum") else 0))
     return jax.jit(
         step,
-        in_shardings=(rep, bsh, tsh, rep),
+        in_shardings=(rep, bsh, tsh, rep) + (rep,) * n_extra,
         out_shardings=(rep, rep),
         donate_argnums=(0,))

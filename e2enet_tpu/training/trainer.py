@@ -285,7 +285,10 @@ class TPUTrainer:
             self.train_step = make_sharded_train_step(
                 self.network, self.ds_weights, self.mesh, self.batch_dice,
                 loss_name=self.loss_name, momentum=self.momentum,
-                optimizer=self.optimizer)
+                optimizer=self.optimizer, loss_kwargs=self.loss_kwargs,
+                dynamic_loss_weights=self.loss_schedule == "ce_to_dice",
+                dynamic_momentum=self.momentum_schedule == "reduce",
+                do_ds=self.ds_mode != "none")
             from ..parallel.mesh import replicate_state
             self.state = replicate_state(self.mesh, self.state)
             self.logger.log(f"multi-device training: mesh={self.mesh.shape}")
@@ -297,11 +300,6 @@ class TPUTrainer:
                 dynamic_loss_weights=self.loss_schedule == "ce_to_dice",
                 dynamic_momentum=self.momentum_schedule == "reduce",
                 do_ds=self.ds_mode != "none")
-        if self.mesh is not None and (self.loss_schedule
-                                      or self.momentum_schedule
-                                      or self.loss_kwargs):
-            raise NotImplementedError(
-                "loss/momentum schedule variants are single-device for now")
         self.eval_step = make_eval_step(
             self.network, self.ds_weights, self.batch_dice,
             loss_name=self.loss_name, loss_kwargs=self.loss_kwargs,
