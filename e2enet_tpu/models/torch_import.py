@@ -87,6 +87,65 @@ def convert_unetpp_state_dict(sd: Dict[str, np.ndarray], num_pool: int,
     return params
 
 
+def _inv_conv_w(w):
+    w = np.asarray(w)                       # (kh,kw,in,out)
+    return np.transpose(w, (3, 2, 0, 1))[:, :, None]  # (out,in,1,kh,kw)
+
+
+def _inv_transp_w(w):
+    w = np.asarray(w)                       # (kd,kh,kw,in,out)
+    return np.transpose(w, (3, 4, 0, 1, 2))  # (in,out,kd,kh,kw)
+
+
+def _inv_seg_w(w):
+    w = np.asarray(w)                       # (in,out)
+    return np.transpose(w, (1, 0))[:, :, None, None, None]
+
+
+def _inv_block(blk, prefix: str):
+    return {
+        f"{prefix}.conv.weight": _inv_conv_w(blk["kernel"]),
+        f"{prefix}.conv.bias": np.asarray(blk["bias"]),
+        f"{prefix}.instnorm.weight": np.asarray(blk["norm_scale"]),
+        f"{prefix}.instnorm.bias": np.asarray(blk["norm_bias"]),
+    }
+
+
+def export_unetpp_state_dict(params: dict, num_pool: int,
+                             num_conv_per_stage: int = 2
+                             ) -> Dict[str, np.ndarray]:
+    """Inverse of convert_unetpp_state_dict: our flax params -> a reference
+    Generic_UNetPlusPlus state_dict (numpy values; caller wraps in torch
+    tensors). Used by the trained-checkpoint fidelity harness: a NATIVE
+    trained model round-trips into the reference torch network so
+    predict_3D can serve as the accuracy oracle on trained weights."""
+    P = num_pool
+    sd = {}
+    for d in range(P):
+        for i in range(num_conv_per_stage):
+            sd.update(_inv_block(params[f"context{d}"][f"block{i}"],
+                                 f"conv_blocks_context.{d}.blocks.{i}"))
+    for i in range(num_conv_per_stage - 1):
+        sd.update(_inv_block(params[f"context{P}a"][f"block{i}"],
+                             f"conv_blocks_context.{P}.0.blocks.{i}"))
+    sd.update(_inv_block(params[f"context{P}b"]["block0"],
+                         f"conv_blocks_context.{P}.1.blocks.0"))
+    for z in range(P):
+        for k in range(P - z):
+            sd[f"up{z}.{k}.weight"] = _inv_transp_w(
+                params[f"up{z}_{k}"]["kernel"])
+            for i in range(num_conv_per_stage - 1):
+                sd.update(_inv_block(params[f"loc{z}_{k}"][f"block{i}"],
+                                     f"loc{z}.{k}.0.blocks.{i}"))
+            if z == 0:
+                sd.update(_inv_block(params[f"loc{z}_{k}_final"]["block0"],
+                                     f"loc{z}.{k}.1.blocks.0"))
+    for i in range(min(4, P)):
+        sd[f"seg_outputs.{i}.weight"] = _inv_seg_w(
+            params[f"seg_head{i}"]["kernel"])
+    return sd
+
+
 def nchw_to_ndhwc(x: np.ndarray) -> np.ndarray:
     """(N, C, D, H, W) -> (N, D, H, W, C)."""
     return np.transpose(x, (0, 2, 3, 4, 1))

@@ -150,6 +150,8 @@ def main():
     os.environ["nnUNet_raw_data_base"] = os.path.join(base, "raw")
     os.environ["nnUNet_preprocessed"] = os.path.join(base, "preprocessed")
 
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     from e2enet_tpu.cli import plan_and_preprocess
 
     rows = []

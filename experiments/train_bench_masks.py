@@ -70,6 +70,7 @@ def main():
     args = ap.parse_args()
 
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
     from e2enet_tpu.models.unetpp import (ShiftUNetPlusPlus,
                                           ds_loss_weights)

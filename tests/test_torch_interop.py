@@ -80,3 +80,33 @@ def test_reference_checkpoint_roundtrip(tmp_path):
     agreement = (seg_ours == seg_ref).mean()
     assert agreement > 0.999, f"agreement {agreement}"
     np.testing.assert_allclose(probs, ref_probs, atol=2e-3)
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+def test_native_to_torch_export_roundtrip():
+    """export_unetpp_state_dict is the exact inverse of
+    convert_unetpp_state_dict, and the exported dict strict-loads into the
+    reference torch network (the trained-checkpoint fidelity bridge)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    Ref = import_reference_unetpp()
+    torch.manual_seed(7)
+    net = Ref((8, 64, 64), 1, 8, 3, 5, 2, 2, nn.Conv3d, nn.InstanceNorm3d,
+              {'eps': 1e-5, 'affine': True}, nn.Dropout3d,
+              {'p': 0, 'inplace': True}, nn.LeakyReLU,
+              {'negative_slope': 1e-2, 'inplace': True}, True, False,
+              lambda x: x, None, POOLS, [[1, 3, 3]] * 6, False, True, True)
+    sd = {k: v.cpu().numpy() for k, v in net.state_dict().items()}
+
+    from e2enet_tpu.models.torch_import import (convert_unetpp_state_dict,
+                                                export_unetpp_state_dict)
+    params = convert_unetpp_state_dict(sd, num_pool=5)
+    back = export_unetpp_state_dict(params, num_pool=5)
+    assert set(back) == set(sd), (
+        f"key mismatch: {sorted(set(back) ^ set(sd))[:6]}")
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+    missing, unexpected = net.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in back.items()}, strict=True)
+    assert not missing and not unexpected
