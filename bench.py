@@ -117,9 +117,15 @@ def main():
             # checkpoint's mask pytree replaces the synthetic row draw,
             # so the plan's density/union structure is what training
             # actually produced
-            from e2enet_tpu.training.checkpoint import load_checkpoint
-            state, _epoch, _meta = load_checkpoint(args.masks_from)
-            masks = {k: jnp.asarray(v) for k, v in state.masks.items()}
+            if args.masks_from.endswith(".npz"):
+                # masks-only artifact (experiments/train_bench_masks.py)
+                z = np.load(args.masks_from)
+                masks = {tuple(k.split("|")): jnp.asarray(z[k])
+                         for k in z.files}
+            else:
+                from e2enet_tpu.training.checkpoint import load_checkpoint
+                state, _epoch, _meta = load_checkpoint(args.masks_from)
+                masks = {k: jnp.asarray(v) for k, v in state.masks.items()}
             have = set(dsff.select_masked(params["params"]))
             assert set(masks) == have, (
                 f"checkpoint mask tree does not match the bench model: "
@@ -140,7 +146,7 @@ def main():
         plan = build_sparse_plan(masks)
         assert plan, "row mask produced no sparse plan"
         model = model.clone(sparse_plan=plan)
-        sparse_tag = f"_rowsparse{d:g}"
+        sparse_tag = f"_rowsparse{round(d, 3):g}"
         log(f"row-sparse plan: {len(plan)} convs, plan row density "
             f"{plan_density(plan, masks):.4f}")
 

@@ -200,9 +200,9 @@ def main():
                        "mean_fg_dice": fg, "per_class": dice}
                 print("RESULT", json.dumps(row), flush=True)
                 rows.append(row)
-                # free disk: drop the run's checkpoints except row-mode
-                # (kept for the real-mask bench feed)
-                if mode != "row":
+                # free disk: drop kernel-mode checkpoints; dense + row are
+                # kept (fidelity_check --from_native consumes them)
+                if mode == "kernel":
                     shutil.rmtree(results, ignore_errors=True)
 
     os.makedirs(LOGS, exist_ok=True)
