@@ -140,6 +140,10 @@ def main():
     ap.add_argument("--tasks", nargs="+", default=list(TASKS))
     ap.add_argument("--modes", nargs="+", default=list(MODES))
     ap.add_argument("--update_frequency", type=int, default=25)
+    ap.add_argument("--death_rate", type=float, default=None,
+                    help="override the DSFF death rate for sparse modes")
+    ap.add_argument("--growth", default=None,
+                    help="override the DSFF growth mode (random/gradient)")
     args = ap.parse_args()
 
     base = args.workdir
@@ -178,7 +182,13 @@ def main():
                             "--seed", str(seed),
                             "--update_frequency",
                             str(args.update_frequency)]
-                           + MODES[mode])
+                           + MODES[mode]
+                           + (["--death-rate", str(args.death_rate)]
+                              if args.death_rate is not None
+                              and mode != "dense" else [])
+                           + (["--growth", args.growth]
+                              if args.growth is not None
+                              and mode != "dense" else []))
                 print(f"==== {run}: predict+evaluate", flush=True)
                 out_dir = os.path.join(base, "preds", run)
                 predict.main(["-i", os.path.join(task_dir, "imagesTs"),
@@ -197,6 +207,10 @@ def main():
                        "epochs": args.epochs, "batches": args.batches,
                        "feats": args.feats, "density":
                        (0.2 if mode != "dense" else 1.0),
+                       "death_rate": (args.death_rate
+                                      if mode != "dense" else None),
+                       "growth": (args.growth if mode != "dense"
+                                  else None),
                        "mean_fg_dice": fg, "per_class": dice}
                 print("RESULT", json.dumps(row), flush=True)
                 rows.append(row)
