@@ -97,6 +97,13 @@ def main():
         quadrant=not args.no_quadrant,
         quadrant_logits=not args.no_quadrant,
         quadrant_input=patch if not args.no_quadrant else None,
+        # fast mode: fused seg-head softmax -> bf16 probs (one Pallas
+        # pass replaces norm materializer + einsum + softmax; the f32
+        # mirror-sum accumulation is unchanged). The exact-f32 companion
+        # below clones the model with this OFF.
+        head_probs_dtype=(jnp.bfloat16 if on_tpu and args.accum != "f32"
+                          and args.flip_free and not args.no_quadrant
+                          else None),
         **({"fused_max_level": args.fused_max_level}
            if args.fused_max_level is not None else {}))
     x0 = jnp.zeros((1, *patch, num_mod), jnp.bfloat16)
@@ -224,11 +231,17 @@ def main():
     # accumulators + f32 probs) once, so round-over-round deltas between
     # the fast-mode headline and the exact path stay attributable.
     if on_tpu and args.accum != "f32" and not args.profile:
+        exact_model = model.clone(head_probs_dtype=None)
+        exact_apply = lambda p, x: exact_model.apply(p, x, do_ds=False)
+        exact_mirror = None
+        if mirror_fns is not None:
+            exact_mirror = mirror_apply_fns_for(exact_model,
+                                                wrap_params=False)
         exact_pred = make_tiled_predictor(
-            apply_fn, patch, num_classes, mirror_axes=(0, 1, 2),
+            exact_apply, patch, num_classes, mirror_axes=(0, 1, 2),
             do_mirroring=True, accum_dtype=jnp.float32,
             tta_batch=args.tta_batch, quadrant_meta=qmeta,
-            prob_dtype=None, mirror_apply_fns=mirror_fns)
+            prob_dtype=None, mirror_apply_fns=exact_mirror)
         acc, w = exact_pred(params, vol, starts_j, n_valid)
         np.asarray(acc[0, 0, 0, :1])  # compile+warm
         # same best-of-3 methodology as the headline: a single chained

@@ -133,6 +133,13 @@ class ShiftUNetPlusPlus(nn.Module):
     # None = dense (also the only option for kernel-pair-granular masks,
     # which have no machine-exploitable structure — see training/dsff.py).
     sparse_plan: Optional[Tuple[Tuple[str, Tuple[int, ...]], ...]] = None
+    # head_probs_dtype: fuse the class softmax into the quadrant seg head
+    # and emit PROBS in this dtype (bf16) instead of f32 logits (only
+    # takes effect for the quadrant_logits do_ds=False head; see
+    # ops/blocks.SegHead.emit_probs_dtype). The sliding-window flip-free
+    # TTA detects the non-f32 head output and skips its own softmax.
+    # None (default) = exact f32 logits everywhere.
+    head_probs_dtype: Optional[Any] = None
 
     @property
     def num_pool(self) -> int:
@@ -705,10 +712,13 @@ class ShiftUNetPlusPlus(nn.Module):
                 # head); only the logits get de-quadrantized
                 mult, off = q_affine_of(v)
                 emit_q = (self.quadrant_logits and not do_ds and i == 0)
+                probs_dt = (self.head_probs_dtype
+                            if emit_q and not self.seg_bias else None)
                 outputs.append(SegHead(num_classes=self.num_classes,
                                        compute_dtype=cd,
                                        quadrant=(q0, Hq0, Wq0),
                                        emit_quadrant=emit_q,
+                                       emit_probs_dtype=probs_dt,
                                        interpret=self.fused_interpret,
                                        use_bias=self.seg_bias,
                                        name=f"seg_head{i}")(

@@ -954,6 +954,14 @@ class SegHead(nn.Module):
     # instead of de-quadrantizing — the sliding-window predictor then runs
     # TTA unflip + softmax in quadrant space (ops/qfused.quadrant_flip)
     emit_quadrant: bool = False
+    # emit_probs_dtype: with emit_quadrant + a pending input, fuse the
+    # class SOFTMAX into the head and return quadrant PROBS in this dtype
+    # (bf16) instead of f32 logits — one Pallas pass (qlink.
+    # seghead_probs_quadrant) replaces the norm materializer + einsum +
+    # separate softmax (~94 ms/volume of seg glue at bench geometry,
+    # round-12 profile). Callers (sliding flip-free TTA) detect the
+    # non-f32 dtype and skip their own softmax. None = exact f32 logits.
+    emit_probs_dtype: Optional[jnp.dtype] = None
     interpret: bool = False          # Pallas interpret mode (CPU tests)
     use_bias: bool = False
 
@@ -975,6 +983,33 @@ class SegHead(nn.Module):
                                           self.compute_dtype)
                 return y.reshape(N, Dq, Q * self.num_classes, L)
 
+            if pending_in and self.emit_probs_dtype is not None:
+                # fused norm + 1x1 + softmax -> bf16 probs (see attr
+                # comment). The logits-only kernel stays a negative
+                # result (round-9); this one removes the boundary the
+                # logits version broke.
+                assert self.emit_quadrant and not self.use_bias
+                from .qfused import quadrant_apply_norm_lrelu
+                from .qlink import (seghead_probs_quadrant,
+                                    seghead_probs_supported)
+                raw, mult, off = x
+
+                def xla_twin(raw, mult, off, w):
+                    z = block_1x1(
+                        quadrant_apply_norm_lrelu(raw, mult, off), w)
+                    z = z.astype(jnp.float32).reshape(
+                        N, Dq, Q, self.num_classes, L)
+                    z = jax.nn.softmax(z, axis=3)
+                    return z.reshape(N, Dq, Q * self.num_classes,
+                                     L).astype(self.emit_probs_dtype)
+
+                if (raw.dtype == jnp.bfloat16 and not self.interpret
+                        and seghead_probs_supported(
+                            Q, cin, self.num_classes, L, raw.dtype)):
+                    return seghead_probs_quadrant(
+                        raw, mult, off, kernel, Q, xla_twin,
+                        out_dtype=self.emit_probs_dtype)
+                return xla_twin(raw, mult, off, kernel)
             if pending_in:
                 # pending raw + affine, materialized into the einsum in
                 # one XLA graph. A Pallas seghead kernel (qlink.

@@ -428,3 +428,106 @@ def seghead_quadrant(raw, mult, off, w, Q: int, xla_fn,
 
     f.defvjp(fwd, bwd)
     return f(raw, mult, off, w)
+
+
+# --------------------------------------------------------------------------
+# seg head v2: pending raw -> norm -> block-diag 1x1 -> SOFTMAX -> bf16
+# probs, in ONE pass. The round-9 logits-only kernel (above) lost because
+# its f32 output layout broke the downstream softmax-accumulate fusion;
+# emitting the PROBS (softmax computed in-kernel, stored bf16) removes
+# that boundary entirely: the flip-free TTA sum then just adds 8 bf16
+# prob tensors (f32 accumulation) and the (N, Dq, Q*C, L) normalized
+# feature tensor is read ONCE from HBM instead of materialized + re-read
+# (fusion "seg_head0/convert_element_type": 40.5 ms/volume at bench
+# geometry, round-12 sparse profile).
+# --------------------------------------------------------------------------
+
+def _seghead_probs_kernel(x_ref, m_ref, o_ref, w_ref, y_ref, yscr, *,
+                          rows, Q, K, interpret):
+    m, o = m_ref[0, 0], o_ref[0, 0]
+    w = w_ref[...]
+    if interpret:            # CPU eager dot lacks bf16xbf16->f32; exact
+        w = w.astype(jnp.float32)
+    for r in range(rows):
+        x = x_ref[0, r]                              # (Q*C, L) bf16
+        a = x.astype(jnp.float32) * m + o
+        a = jnp.maximum(a, a * LRELU_SLOPE)
+        a = a.astype(x.dtype)                        # twin: f32 affine->bf16
+        if interpret:
+            a = a.astype(jnp.float32)
+        yscr[...] = jax.lax.dot_general(
+            w, a, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (Q*K, L) f32 logits
+        # per-block class softmax (jax.nn.softmax semantics: max-subtract,
+        # f32). Slices are K-row (K % 8 == 0 gated) reads of the scratch
+        # so the big f32 logits never live as one value chain (spill trap).
+        for q in range(Q):
+            blk = yscr[q * K:(q + 1) * K, :]
+            mx = jnp.max(blk, axis=0, keepdims=True)
+            e = jnp.exp(blk - mx)
+            s = jnp.sum(e, axis=0, keepdims=True)
+            y_ref[0, r, q * K:(q + 1) * K, :] = (e / s).astype(y_ref.dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _seghead_probs_call(N, Dq, QC, Q, K, L, rows, out_dtype, interpret):
+    kw = _site_specs(N, Dq, rows, [(QC, L), (QC, 1), (QC, 1), None],
+                     (Q * K, L), out_dtype, interpret)
+    for i in (1, 2):
+        kw["in_specs"][i] = pl.BlockSpec((1, 1, QC, 1),
+                                         lambda n, d: (n, 0, 0, 0),
+                                         memory_space=pltpu.VMEM)
+    kw["scratch_shapes"] = [pltpu.VMEM((Q * K, L), jnp.float32)]
+    return pl.pallas_call(
+        functools.partial(_seghead_probs_kernel, rows=rows, Q=Q, K=K,
+                          interpret=interpret),
+        **kw)
+
+
+def seghead_probs_supported(Q: int, C: int, K: int, L: int, dtype) -> bool:
+    """Gate: bf16 stream, lane-aligned rows, sublane-aligned block slices,
+    VMEM feasibility (in + out double-buffered + f32 logits scratch)."""
+    if jnp.dtype(dtype) != jnp.bfloat16:
+        return False
+    if L % 128 != 0 or (Q * C) % 8 != 0 or K % 8 != 0:
+        return False
+    per_row = Q * C * L * 2 + Q * K * L * 2
+    return 2 * per_row + Q * K * L * 4 + 4 * Q * C * L * 4 < _VMEM_BUDGET
+
+
+def seghead_probs_quadrant(raw, mult, off, w, Q: int, xla_fn,
+                           out_dtype=jnp.bfloat16,
+                           interpret: bool = False):
+    """Pending-in quadrant seg head emitting per-block softmax PROBS
+    (out_dtype, default bf16): norm+lrelu (f32 affine, bf16 cast — the
+    XLA twin's exact order), block-diagonal (Q*K, Q*C) dot with f32
+    accumulation, stable per-block softmax in f32, bf16 store. w: (C, K).
+    Backward delegates to jax.vjp of the XLA twin. Reference semantics:
+    seg_outputs 1x1 conv + inference_apply_nonlin softmax
+    (unetpp_d.py:394-401, neural_network.py:207)."""
+    N, Dq, QC, L = raw.shape
+    C = QC // Q
+    K = w.shape[-1]
+
+    def run(raw, mult, off, w):
+        eye = jnp.eye(Q, dtype=w.dtype)
+        wblk = jnp.einsum("pq,ck->pkqc", eye, w).reshape(Q * K, Q * C)
+        rows = _pick_rows(Dq, QC * L * 2 + Q * K * L * 2
+                          + Q * K * L * 4 // 2)
+        call = _seghead_probs_call(N, Dq, QC, Q, K, L, rows,
+                                   jnp.dtype(out_dtype), bool(interpret))
+        m = jnp.tile(mult.astype(jnp.float32), (1, Q)).reshape(N, 1, QC, 1)
+        o = jnp.tile(off.astype(jnp.float32), (1, Q)).reshape(N, 1, QC, 1)
+        return call(raw, m, o, wblk.astype(jnp.bfloat16))
+
+    f = jax.custom_vjp(run)
+
+    def fwd(raw, mult, off, w):
+        return run(raw, mult, off, w), (raw, mult, off, w)
+
+    def bwd(res, gy):
+        _, pullback = jax.vjp(xla_fn, *res)
+        return pullback(gy)
+
+    f.defvjp(fwd, bwd)
+    return f(raw, mult, off, w)

@@ -331,8 +331,14 @@ def _tiled_accumulate(apply_fn, patch_size, num_classes, mirror_axes,
             prob_sum = jnp.zeros(out_aval.shape, jnp.float32)
             for fn_m in mirror_apply_fns:
                 lq = fn_m(params, xin)
-                p = quadrant_softmax_f32(lq, q0, num_classes,
-                                         out_dtype=jnp.float32)
+                if lq.dtype == jnp.float32:
+                    p = quadrant_softmax_f32(lq, q0, num_classes,
+                                             out_dtype=jnp.float32)
+                else:
+                    # head emitted fused softmax PROBS (models/unetpp
+                    # head_probs_dtype, bf16): the mirror sum still
+                    # accumulates f32
+                    p = lq.astype(jnp.float32)
                 prob_sum = prob_sum + p
             prob_sum = from_quadrant_cf(prob_sum, q0, Hq_, Wq_,
                                         num_classes)[0]

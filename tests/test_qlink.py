@@ -170,3 +170,78 @@ def test_supported_gates():
     assert not site_link_supported(16, 64, 130, jnp.bfloat16)  # lanes
     assert not site_link_supported(12, 64, 128, jnp.bfloat16)  # sublanes
     assert not site_link_supported(16, 64, 128, jnp.float32)   # dtype
+
+
+def test_seghead_probs_matches_twin():
+    """Fused norm+1x1+softmax probs kernel (round-12): bf16 probs match
+    the XLA composition (norm materialize -> block einsum -> softmax) to
+    bf16 rounding, and the custom backward is the twin's vjp."""
+    rng = np.random.RandomState(9)
+    C, K = 16, 8
+    raw = _rand(rng, (2, 3, 8 * C, L))
+    mult = jnp.asarray(rng.rand(2, C) + 0.5, jnp.float32)
+    off = jnp.asarray(rng.randn(2, C), jnp.float32)
+    w = jnp.asarray(rng.randn(C, K), jnp.float32)
+    from e2enet_tpu.ops.qlink import (seghead_probs_quadrant,
+                                      seghead_probs_supported)
+    assert seghead_probs_supported(8, C, K, L, jnp.bfloat16)
+
+    def twin(raw, mult, off, w):
+        xq = qfused.quadrant_apply_norm_lrelu(raw, mult, off)
+        N, Dq, QC, Lx = xq.shape
+        xb = (xq.reshape(N, Dq, 8, C, Lx).astype(jnp.bfloat16)
+              .astype(jnp.float32))
+        wb = w.astype(jnp.bfloat16).astype(jnp.float32)
+        y = jnp.einsum("ndqcl,ck->ndqkl", xb, wb,
+                       preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(y, axis=3)
+        return p.reshape(N, Dq, 8 * K, Lx).astype(jnp.bfloat16)
+
+    ref = jax.jit(twin)(raw, mult, off, w)
+    out = seghead_probs_quadrant(raw, mult, off, w, 8, twin,
+                                 interpret=True)
+    assert out.shape == ref.shape and out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0, atol=1.6e-2)
+    # probs are a distribution per block
+    s = np.asarray(out, np.float32).reshape(2, 3, 8, K, L).sum(3)
+    np.testing.assert_allclose(s, 1.0, atol=2e-2)
+
+    gp = jax.jit(jax.grad(lambda r, m, o, ww: jnp.sum(
+        seghead_probs_quadrant(r, m, o, ww, 8, twin,
+                               interpret=True).astype(jnp.float32) ** 2),
+        argnums=(1, 2, 3)))(raw, mult, off, w)
+    gx = jax.jit(jax.grad(lambda r, m, o, ww: jnp.sum(
+        twin(r, m, o, ww).astype(jnp.float32) ** 2),
+        argnums=(1, 2, 3)))(raw, mult, off, w)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_seghead_probs_model_path_matches_logits_path():
+    """ShiftUNetPlusPlus head_probs_dtype=bf16: the flip-free predictor's
+    prob sums match the exact f32-logits path to bf16 tolerance (CPU:
+    the model takes the XLA-twin branch; the contract — probs out, no
+    second softmax — is what this pins)."""
+    from e2enet_tpu.models.unetpp import ShiftUNetPlusPlus
+    from e2enet_tpu.ops.qfused import quadrant_softmax_f32
+    kw = dict(input_channels=1, num_classes=3,
+              pool_op_kernel_sizes=((2, 2, 2), (2, 2, 2)),
+              base_num_features=4, compute_dtype=jnp.float32, remat=False,
+              fused=True, fused_interpret=True, quadrant=True,
+              quadrant_logits=True)
+    m_logits = ShiftUNetPlusPlus(**kw)
+    m_probs = ShiftUNetPlusPlus(head_probs_dtype=jnp.bfloat16, **kw)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 4, 8, 16, 1),
+                    jnp.float32)
+    params = m_logits.init(jax.random.PRNGKey(0), x)
+    lq = m_logits.apply(params, x, do_ds=False)
+    assert lq.ndim == 4 and lq.dtype == jnp.float32
+    p_ref = quadrant_softmax_f32(lq, (2, 2, 2), 3)
+    p = m_probs.apply(params, x, do_ds=False)
+    assert p.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(p, np.float32),
+                               np.asarray(p_ref), rtol=0, atol=1.6e-2)
