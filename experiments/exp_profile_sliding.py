@@ -41,7 +41,10 @@ def main():
         pool_op_kernel_sizes=((2, 2, 2),) * 5,
         base_num_features=48, compute_dtype=jnp.bfloat16,
         fused=fused, quadrant=quadrant, quadrant_logits=quadrant,
-        quadrant_input=patch if quadrant else None)
+        quadrant_input=patch if quadrant else None,
+        # match the bench fast mode (fused seg-head softmax kernel)
+        head_probs_dtype=(jnp.bfloat16
+                          if "--head_probs" in sys.argv else None))
     x0 = jnp.zeros((1, *patch, 1), jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
     if "--sparse_density" in sys.argv:
