@@ -206,11 +206,21 @@ def predict_case(bundle: ModelBundle, data: np.ndarray,
     flip_free: mirror TTA via statically mirrored operators instead of
     data flips (mirror_apply_fns_for; exact — same math, no flips).
     None = auto: on whenever TTA runs."""
-    apply_fn = lambda params, x: bundle.network.apply(
-        {"params": params}, x, do_ds=False)
     if flip_free is None:
         flip_free = do_tta
-    mirror_fns = (mirror_apply_fns_for(bundle.network)
+    net = bundle.network
+    if (all_in_gpu and flip_free and do_tta
+            and getattr(net, "compute_dtype", None) == jnp.bfloat16
+            and getattr(net, "quadrant_logits", False)
+            and hasattr(net, "head_probs_dtype")):
+        # fast mode on the flip-free quadrant path: fuse the class softmax
+        # into the seg head (one Pallas pass emitting bf16 probs —
+        # qlink.seghead_probs_quadrant; bench headline path). Exact mode
+        # (all_in_gpu=False) keeps f32 logits + separate softmax.
+        net = net.clone(head_probs_dtype=jnp.bfloat16)
+    apply_fn = lambda params, x: net.apply(
+        {"params": params}, x, do_ds=False)
+    mirror_fns = (mirror_apply_fns_for(net)
                   if (flip_free and do_tta) else None)
     accum = jnp.float16 if all_in_gpu else jnp.float32
     # fast mode also keeps the per-pass TTA probs bf16 (for bf16 models);
