@@ -271,6 +271,20 @@ def transp_conv_matmul(x: jnp.ndarray, kernel: jnp.ndarray,
     N, D, H, W, C = x.shape
     kd, kh, kw, cin, cout = kernel.shape
     assert (kd, kh, kw) == (sd, sh, sw), "transpconv requires kernel == stride"
+    import os
+    if os.environ.get("E2E_TRANSP_NATIVE") == "1":
+        # A/B experiment: XLA-native lhs-dilated conv (no explicit d2s
+        # transpose; XLA picks the layout)
+        return jax.lax.conv_general_dilated(
+            x.astype(compute_dtype),
+            kernel[::-1, ::-1, ::-1].astype(compute_dtype),
+            window_strides=(1, 1, 1), padding=[(sd - 1, sd - 1),
+                                               (sh - 1, sh - 1),
+                                               (sw - 1, sw - 1)],
+            lhs_dilation=stride,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=compute_dtype,
+            precision=_precision_for(compute_dtype))
     w2 = kernel.reshape(sd * sh * sw * 1, cin, cout)  # (S, Cin, Cout)
     w2 = jnp.transpose(w2, (1, 0, 2)).reshape(cin, sd * sh * sw * cout)
     y = jnp.dot(x.astype(compute_dtype), w2.astype(compute_dtype),
