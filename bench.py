@@ -56,14 +56,15 @@ def main():
                          "--dense benches the fully-dense model instead")
     ap.add_argument("--dense", action="store_true",
                     help="bench the dense model (no DSFF mask)")
-    ap.add_argument("--masks_from", default=None,
-                    help="load DSFF masks from a native training "
-                         "checkpoint (.model npz) instead of synthesizing "
-                         "random row masks — benches the sparse plan a "
-                         "REAL row-granular DSFF training run produced "
-                         "(VERDICT r04 weak #3). The checkpoint's model "
-                         "must match the bench architecture (48 base "
-                         "features, 5x(2,2,2) pools)")
+    ap.add_argument("--masks_from", default="auto",
+                    help="DSFF masks source: a native training checkpoint "
+                         "(.model) or masks-only .npz. Default 'auto' = "
+                         "experiments/logs/bench_masks_trained.npz (masks "
+                         "from a REAL row-granular DSFF training run at "
+                         "the bench architecture — "
+                         "experiments/train_bench_masks.py) when present, "
+                         "else a synthetic random row draw at "
+                         "--sparse_density. 'synthetic' forces the draw")
     ap.add_argument("--accum", choices=["f32", "f16", "bf16"],
                     default="f16",
                     help="sliding-window accumulator dtype. Default f16 = "
@@ -113,8 +114,20 @@ def main():
     log(f"params: {n_params/1e6:.2f}M  patch={patch}  volume={vol_shape}")
 
     sparse_tag = ""
+    if args.masks_from == "auto":
+        import os
+        trained = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "experiments", "logs",
+                               "bench_masks_trained.npz")
+        # trained masks match the TPU bench architecture (48 feats);
+        # the CPU smoke model is smaller -> synthetic draw there
+        args.masks_from = (trained if on_tpu and os.path.isfile(trained)
+                           else None)
+    elif args.masks_from == "synthetic":
+        args.masks_from = None
     if args.dense:
         args.sparse_density = None
+        args.masks_from = None
     if args.masks_from or args.sparse_density is not None:
         from e2enet_tpu.models.sparse_plan import build_sparse_plan, \
             plan_density
