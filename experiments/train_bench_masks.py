@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--density", type=float, default=0.2)
     ap.add_argument("--update_frequency", type=int, default=30)
     ap.add_argument("--death_rate", type=float, default=0.5)
+    ap.add_argument("--growth", default="random",
+                    choices=["random", "gradient"],
+                    help="row regrowth mode; 'gradient' is the "
+                         "recommended narrow-model setting "
+                         "(BASELINE.md granularity study)")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--n_batches", type=int, default=8,
                     help="distinct host batches cycled through")
@@ -103,7 +108,11 @@ def main():
     factors = factors[:n_out]
 
     step_fn = make_train_step(model, weights)
-    mask_update = make_mask_update_step("random", granularity="row")
+    mask_update = make_mask_update_step(args.growth, granularity="row")
+    grad_step = None
+    if args.growth == "gradient":
+        from e2enet_tpu.training.train_state import make_grad_step
+        grad_step = make_grad_step(model, weights, True)
 
     rng = np.random.RandomState(3)
     print(f"generating {args.n_batches} host batches "
@@ -122,7 +131,9 @@ def main():
         if (i + 1) % args.update_frequency == 0:
             dr = dsff.cosine_death_rate(
                 jnp.asarray(i + 1, jnp.float32), args.death_rate, t_max)
-            state = mask_update(state, dr)
+            grads = (grad_step(state.params, data, targets)
+                     if grad_step is not None else None)
+            state = mask_update(state, dr, grads)
             dens = float(dsff.masks_density(state.masks, state.params))
             print(f"step {i+1}: loss={float(metrics['loss']):.4f} "
                   f"DSFF update death_rate={float(dr):.3f} "
