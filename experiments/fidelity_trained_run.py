@@ -60,17 +60,19 @@ def make_plans_dict():
     }
 
 
-def make_batches(rng, n_batches, batch, factors):
-    """Sphere-task batches: cases padded into PATCH, z-score normalized
+def make_batches(rng, n_batches, batch, factors, gen="spheres"):
+    """Study-task batches: cases padded into PATCH, z-score normalized
     (the preprocessing the predict pipeline applies)."""
     import granularity_study as gs
+    gen_fn = {"spheres": gs.make_case_spheres,
+              "shells": gs.make_case_shells}[gen]
     D, H, W = PATCH
     out = []
     for _ in range(n_batches):
         vols = np.zeros((batch, D, H, W, 1), np.float32)
         segs = np.zeros((batch, D, H, W), np.int32)
         for b in range(batch):
-            vol, seg = gs.make_case_spheres(rng)
+            vol, seg = gen_fn(rng)
             voln = (vol - vol.mean()) / (vol.std() + 1e-8)
             d0, h0, w0 = vol.shape
             vols[b, :d0, :h0, :w0, 0] = voln
@@ -154,8 +156,12 @@ def main():
     ap.add_argument("--n_batches", type=int, default=6)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--modes", nargs="+", default=["dense", "row"])
+    ap.add_argument("--gen", default="spheres",
+                    choices=["spheres", "shells"])
     ap.add_argument("--out_dir", default="/tmp/fidelity_models")
     args = ap.parse_args()
+    global NCLASS
+    NCLASS = {"spheres": 3, "shells": 4}[args.gen]
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -165,7 +171,8 @@ def main():
     factors = ([(1, 1, 1)]
                + [tuple(int(v) for v in c) for c in cum])[:n_out]
     rng = np.random.RandomState(5)
-    batches_np = make_batches(rng, args.n_batches, args.batch, factors)
+    batches_np = make_batches(rng, args.n_batches, args.batch, factors,
+                              gen=args.gen)
     for mode in args.modes:
         train_one(mode, args, batches_np, factors)
 
