@@ -656,15 +656,43 @@ class ShiftConvBlock(nn.Module):
         fd = self.flips[0]
         if len(parts) == 1 and self.sparse_in is None:
             x = parts[0]
-            if shifting:
-                if fd:
-                    neg = tuple((c0, c1, -s) for (c0, c1, s)
-                                in group_shifts(cin, self.shift_size))
-                    x = depth_shift_custom(x, neg)
-                else:
-                    x = depth_shift(x, self.shift_size)
-            y = conv3d_one_flat(x, kernel, bias, self.stride, flat_axis,
-                                self.compute_dtype, flips=self.flips)
+            import os as _os
+            if (shifting and _os.environ.get("E2E_SHIFT_GROUPCONV") == "1"
+                    and flat_axis is None):
+                # A/B experiment: conv(shift(x)) = sum_g conv(pad-slice_g)
+                # — the shift becomes per-group depth SLICES of one padded
+                # tensor (fusible views), no materialized shifted copies.
+                # Mirrored bodies (fd) negate the group shifts, exactly as
+                # depth_shift_custom does.
+                import jax.numpy as _jnp
+                D = x.shape[1]
+                pad = self.shift_size // 2
+                pw = [(0, 0)] * x.ndim
+                pw[1] = (pad, pad)
+                xp = _jnp.pad(x, pw)
+                y = None
+                for (c0, c1, s) in group_shifts(cin, self.shift_size):
+                    if fd:
+                        s = -s
+                    part = jax.lax.slice_in_dim(
+                        xp, pad - s, pad - s + D, axis=1)[..., c0:c1]
+                    ksl = jax.lax.slice_in_dim(kernel, c0, c1, axis=-2)
+                    contrib = conv3d_one_flat(
+                        part, ksl, bias if y is None else None,
+                        self.stride, flat_axis, self.compute_dtype,
+                        flips=self.flips)
+                    y = contrib if y is None else y + contrib
+            else:
+                if shifting:
+                    if fd:
+                        neg = tuple((c0, c1, -s) for (c0, c1, s)
+                                    in group_shifts(cin, self.shift_size))
+                        x = depth_shift_custom(x, neg)
+                    else:
+                        x = depth_shift(x, self.shift_size)
+                y = conv3d_one_flat(x, kernel, bias, self.stride,
+                                    flat_axis, self.compute_dtype,
+                                    flips=self.flips)
         else:
             y = None
             off = 0
