@@ -74,6 +74,10 @@ def main():
                          "exact mode (measured ~2% apart)")
     args = ap.parse_args()
     import jax
+    # persistent compile cache: re-runs (and the driver's end-of-round
+    # invocation) skip the multi-minute remote compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     import jax.numpy as jnp
     from e2enet_tpu.models.unetpp import ShiftUNetPlusPlus
     from e2enet_tpu.ops.sliding import (compute_steps_for_sliding_window,
